@@ -1,0 +1,195 @@
+"""The NFA transition core, shared by batch and streaming executors.
+
+Semantics replicated from the reference's pre/post state-processor chain
+(``/root/reference/src/core/query/input/stream/state/stream_pre_state_processor.rs``):
+
+- events replay per key in ``(ts, turn_idx)`` order
+- **promote-then-match** ordering invariant: an event first advances
+  instances created by *earlier* events, then may start a new instance — one
+  event can match at most one position of any given instance
+  (``query_parser.rs:621-626``)
+- ``WITHIN`` is an event-time deadline measured from the first matched event;
+  expired partial matches are dropped reactively on arrival
+  (``stream_pre_state_processor.rs:282-296``)
+- count quantifiers branch once ``min_count`` is reached: the instance both
+  keeps accumulating and forwards a copy to the next step
+  (``count_pre_state_processor.rs`` forwarding contract)
+- PATTERN mode ignores non-matching events; SEQUENCE mode kills partials on
+  any non-matching event (``PATTERN_PROCESSING.md:69-72``)
+- without EVERY, matching stops after the first completed match
+
+The matcher is deliberately row-sequential *within a key* — so is the
+reference — but keys are independent, so Spark parallelizes across
+``conv_id`` groups; the hot path for linear patterns is the vectorized
+``numpy.searchsorted`` chain in :func:`match_linear_vectorized`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from .spec import PatternSpec, Step
+
+# instance = {"step": int, "count": int, "first_ts": int(ns),
+#             "matched": list[list[event-dict]]}  (one list per step)
+
+
+def _event_fields(spec: PatternSpec) -> list[str]:
+    fields = {"turn_idx", spec.ts_col}
+    for s in spec.steps:
+        fields.update(s.emit)
+    return sorted(fields)
+
+
+def _emit_row(spec: PatternSpec, key: Any, matched: list[list[dict]]) -> dict:
+    row: dict[str, Any] = {"conv_id": key}
+    for i, s in enumerate(spec.steps):
+        last = matched[i][-1]
+        row[f"{s.name}_turn_idx"] = last["turn_idx"]
+        row[f"{s.name}_ts"] = last[spec.ts_col]
+        if s.max_count > 1:
+            row[f"{s.name}_count"] = len(matched[i])
+        for c in s.emit:
+            row[f"{s.name}_{c}"] = last[c]
+    return row
+
+
+def run_nfa(
+    pdf: pd.DataFrame,
+    spec: PatternSpec,
+    instances: list[dict] | None = None,
+    matched_done: bool = False,
+) -> tuple[list[dict], list[dict], bool]:
+    """Run transitions over one key's (sorted) events.
+
+    Returns (emitted match rows, surviving instances, matched_done flag).
+    ``instances`` carries partial matches across micro-batches (streaming).
+    """
+    instances = list(instances or [])
+    out: list[dict] = []
+    if pdf.empty and not instances:
+        return out, instances, matched_done
+
+    pdf = pdf.sort_values(list(spec.order_cols), kind="mergesort")
+    key = pdf[spec.key_col].iloc[0] if len(pdf) else None
+    fields = _event_fields(spec)
+    field_arrays = {f: pdf[f].to_numpy() for f in fields}
+    flag_arrays = [pdf[s.flag_col].to_numpy() for s in spec.steps]
+    ts_ns = pd.to_datetime(pdf[spec.ts_col]).astype("int64").to_numpy()
+    within_ns = int(spec.within.value) if spec.within is not None else None
+    n_steps = len(spec.steps)
+
+    def event_dict(i: int) -> dict:
+        return {f: field_arrays[f][i] for f in fields}
+
+    def try_advance(inst: dict, row: int, ev: dict | None) -> list[dict]:
+        """Apply event ``row`` to ``inst``; mutates/branches; returns
+        surviving instance list (may be empty when a match completes or a
+        sequence-mode miss kills it)."""
+        nonlocal matched_done
+        step_idx = inst["step"]
+        step: Step = spec.steps[step_idx]
+        matches = bool(flag_arrays[step_idx][row])
+        if matches and step.cross_pred is not None:
+            matches = bool(step.cross_pred(ev, {
+                spec.steps[j].name: inst["matched"][j] for j in range(step_idx)
+            }))
+        if not matches:
+            if spec.mode == "sequence":
+                return []  # strict contiguity: partial match dies
+            return [inst]
+
+        inst["matched"][step_idx] = inst["matched"][step_idx] + [ev]
+        inst["count"] += 1
+        survivors: list[dict] = []
+        can_advance = inst["count"] >= step.min_count
+        can_stay = inst["count"] < step.max_count
+        if can_stay:
+            survivors.append(inst)
+        if can_advance:
+            fwd = inst if not can_stay else {
+                "step": inst["step"],
+                "count": inst["count"],
+                "first_ts": inst["first_ts"],
+                "matched": list(inst["matched"]),
+            }
+            fwd["step"] = step_idx + 1
+            fwd["count"] = 0
+            if fwd["step"] == n_steps:
+                out.append(_emit_row(spec, key, fwd["matched"]))
+                matched_done = True
+            else:
+                survivors.append(fwd)
+        return survivors
+
+    for row in range(len(pdf)):
+        t = ts_ns[row]
+        # 1) reactive expiry of partials past their WITHIN deadline
+        if within_ns is not None:
+            instances = [
+                inst for inst in instances if t - inst["first_ts"] <= within_ns
+            ]
+        # 2) advance instances created by earlier events (promote-then-match)
+        ev = event_dict(row) if any(fa[row] for fa in flag_arrays) else None
+        nxt: list[dict] = []
+        for inst in instances:
+            nxt.extend(try_advance(inst, row, ev))
+        instances = nxt
+        # 3) possibly start a new instance at step 0
+        if flag_arrays[0][row] and (spec.every or (not matched_done and not instances)):
+            fresh = {
+                "step": 0,
+                "count": 0,
+                "first_ts": t,
+                "matched": [[] for _ in range(n_steps)],
+            }
+            instances.extend(try_advance(fresh, row, ev))
+
+    return out, instances, matched_done
+
+
+def match_linear_vectorized(pdf: pd.DataFrame, spec: PatternSpec) -> pd.DataFrame:
+    """Vectorized fast path for linear EVERY patterns (no quantifiers, no
+    cross predicates, pattern mode): chain ``searchsorted`` lookups — each
+    step-0 event pairs with the first subsequent step-1 event, etc.
+
+    Produces byte-identical results to :func:`run_nfa` for eligible specs
+    (property-tested in tests/test_cep.py).
+    """
+    assert spec.is_linear
+    pdf = pdf.sort_values(list(spec.order_cols), kind="mergesort").reset_index(drop=True)
+    key = pdf[spec.key_col].iloc[0] if len(pdf) else None
+    ts_ns = pd.to_datetime(pdf[spec.ts_col]).astype("int64").to_numpy()
+    positions = [np.flatnonzero(pdf[s.flag_col].to_numpy()) for s in spec.steps]
+    if any(len(p) == 0 for p in positions):
+        return pd.DataFrame()
+
+    cur = positions[0]
+    chain = [cur]
+    alive = np.ones(len(cur), dtype=bool)
+    prev = cur
+    for pos in positions[1:]:
+        nxt_idx = np.searchsorted(pos, prev, side="right")
+        ok = nxt_idx < len(pos)
+        nxt = np.where(ok, pos[np.minimum(nxt_idx, len(pos) - 1)], -1)
+        alive &= ok
+        chain.append(nxt)
+        prev = np.where(ok, nxt, len(pdf))  # dead rows point past the end
+
+    if spec.within is not None and len(chain) > 1:
+        final = chain[-1]
+        safe_final = np.maximum(final, 0)
+        dur = ts_ns[safe_final] - ts_ns[chain[0]]
+        alive &= dur <= int(spec.within.value)
+
+    rows: dict[str, Any] = {"conv_id": np.repeat(key, int(alive.sum()))}
+    for i, s in enumerate(spec.steps):
+        sel = chain[i][alive]
+        rows[f"{s.name}_turn_idx"] = pdf["turn_idx"].to_numpy()[sel]
+        rows[f"{s.name}_ts"] = pdf[spec.ts_col].to_numpy()[sel]
+        for c in s.emit:
+            rows[f"{s.name}_{c}"] = pdf[c].to_numpy()[sel]
+    return pd.DataFrame(rows)

@@ -1,0 +1,96 @@
+"""Pattern specification.
+
+Mirrors the reference's pattern surface (SURVEY.md §2.6):
+
+- sequence steps ``e1=A -> e2=B -> ...`` — each step has a *precomputed
+  boolean flag column* (predicates are evaluated as Catalyst expressions
+  BEFORE the NFA, keeping Python work minimal), reference converter
+  ``src/sql_compiler/converter.rs:1751``
+- count quantifiers ``A{n}`` / ``A{m,n}`` (``count_pre_state_processor.rs``;
+  validation: bounded max only, ``PATTERN_PROCESSING.md:196-220``)
+- ``EVERY`` — restart matching on every first-step occurrence
+  (``PATTERN_PROCESSING.md:139-152``)
+- ``WITHIN d`` — event-time deadline from the first matched event
+  (``stream_pre_state_processor.rs:282-296``)
+- cross-step predicates ``e2[x > e1.x]`` — vectorized pandas callables over
+  (candidate batch, earlier matched event)
+- PATTERN mode skips non-matching events; SEQUENCE mode kills partial
+  matches on any non-matching event (``PATTERN_PROCESSING.md:69-72``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import pandas as pd
+
+
+@dataclass(frozen=True)
+class Step:
+    """One pattern position.
+
+    ``flag_col``: boolean input column — True where this step's predicate
+    holds. ``min_count``/``max_count``: count quantifier bounds (1/1 for a
+    plain step). ``cross_pred``: optional ``(candidate: pd.Series-dict,
+    matched: dict[str, list[dict]]) -> bool`` evaluated per candidate against
+    earlier matched events. ``emit``: input columns to surface for this step
+    (last matched event of the step), always including ``turn_idx``/``ts``.
+    """
+
+    name: str
+    flag_col: str
+    min_count: int = 1
+    max_count: int = 1
+    cross_pred: Optional[Callable[[dict, dict], bool]] = None
+    emit: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        if self.min_count < 1 or self.max_count < self.min_count:
+            raise ValueError(
+                f"step {self.name}: invalid quantifier {{{self.min_count},"
+                f"{self.max_count}}} (unbounded not supported — the reference "
+                "rejects it too, PATTERN_PROCESSING.md:210-219)"
+            )
+
+
+@dataclass(frozen=True)
+class PatternSpec:
+    steps: tuple[Step, ...]
+    within: Optional[pd.Timedelta] = None
+    every: bool = True
+    mode: str = "pattern"  # 'pattern' (skip-irrelevant) | 'sequence' (strict)
+    key_col: str = "conv_id"
+    ts_col: str = "ts"
+    order_cols: tuple[str, ...] = ("ts", "turn_idx")
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("pattern", "sequence"):
+            raise ValueError(f"unknown mode {self.mode}")
+        if not self.steps:
+            raise ValueError("pattern needs at least one step")
+
+    @property
+    def is_linear(self) -> bool:
+        """True when every step is unquantified with no cross predicate —
+        enables the fully-vectorized numpy fast path."""
+        return all(
+            s.min_count == 1 and s.max_count == 1 and s.cross_pred is None
+            for s in self.steps
+        ) and self.every and self.mode == "pattern"
+
+    def output_columns(self) -> list[tuple[str, str]]:
+        """(column_name, source) pairs for the flattened match row.
+
+        ≙ TerminalPostStateProcessor flattening the matched StateEvent into
+        one wide row (``src/core/util/parser/query_parser.rs:39-114``).
+        """
+        cols: list[tuple[str, str]] = [("conv_id", self.key_col)]
+        for s in self.steps:
+            cols.append((f"{s.name}_turn_idx", "turn_idx"))
+            cols.append((f"{s.name}_ts", self.ts_col))
+            if s.max_count > 1:
+                cols.append((f"{s.name}_count", "__count"))
+            for c in s.emit:
+                cols.append((f"{s.name}_{c}", c))
+        return cols

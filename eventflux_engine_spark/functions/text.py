@@ -1,0 +1,153 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+These go beyond the reference's scalar library (its string functions are
+generic — ``string_functions.rs``); they are the per-document/per-turn
+operators a 100 TB corpus pipeline needs: token counting, language ID,
+quality scoring, fingerprinting.
+
+Two tiers:
+
+- Catalyst-native column builders (the hot path — whole-stage codegen, no
+  Python). Each has an exact DuckDB-SQL twin in ``plans/registry.py`` so the
+  driver's oracle validates it.
+- an Arrow-vectorized ``pandas_udf`` bundle (:func:`text_features_pandas`)
+  for transforms that genuinely need Python (north_rule: vectorized
+  pandas/Arrow UDFs only, never per-row Python).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "normalize_text",
+    "token_count",
+    "stopword_hits",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "LANG_MARKERS",
+    "text_features_pandas",
+]
+
+#: tiny deterministic marker-word lists per language (n-gram-heuristic
+#: language ID). Accuracy is secondary — determinism and engine-parity are
+#: the contract; the `documents.lang` column provides a sanity check.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "la", "que", "los", "es"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, collapse whitespace, strip non-alphanumerics (keeps CJK)."""
+    out = F.lower(c)
+    out = F.regexp_replace(out, r"[^\p{L}\p{N}\s]", " ")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def _word_hits(c: Column, word: str) -> Column:
+    # count of whole-word occurrences in the padded, lowercased text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return F.size(F.regexp_extract_all(padded, F.lit(f"( {word} )"), F.lit(0)))
+
+
+def stopword_hits(c: Column, lang: str = "en") -> Column:
+    """Number of marker-stopword occurrences for ``lang``."""
+    hits = [_word_hits(c, w) for w in LANG_MARKERS[lang]]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: argmax of marker-word hit counts (ties break by
+    language code order; 'und' when nothing matches)."""
+    scores = {lang: stopword_hits(c, lang) for lang in sorted(LANG_MARKERS)}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reverse so earlier languages win ties via later .when precedence
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(c: Column) -> Column:
+    """Deterministic document quality score in [0, 1].
+
+    Blend of: length band (20..2000 chars), alphanumeric ratio, stopword
+    density. The exact formula is mirrored in SQL for the oracle.
+    """
+    n = F.length(c)
+    alnum = F.size(F.regexp_extract_all(c, F.lit(r"([\p{L}\p{N}])"), F.lit(0)))
+    alnum_ratio = F.when(n > 0, alnum / n).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    toks = token_count(c)
+    stop_density = F.when(toks > 0, stopword_hits(c, "en") / toks).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * len_ok
+        + F.lit(0.4) * alnum_ratio
+        + F.lit(0.2) * F.least(F.lit(1.0), stop_density * 4)
+    )
+    return F.round(score, 4)
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text.
+
+    md5 is the one hash with identical output in Spark and DuckDB, which
+    makes fingerprints (and the MinHash built on them in ``dedup.py``)
+    oracle-checkable end to end.
+    """
+    return F.md5(normalize_text(c))
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("avg_token_len", T.DoubleType()),
+        T.StructField("upper_ratio", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_FEATURE_SCHEMA)
+def text_features_pandas(texts: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized per-turn text features (the north_rule UDF surface).
+
+    ≙ reference script-UDF extension point
+    (``script_function_executor.rs``) — but batched via Arrow, never per-row.
+    """
+    s = texts.fillna("")
+    tokens = s.str.split()
+    n_tokens = tokens.str.len().fillna(0).astype("int32")
+    n_chars = s.str.len().astype("int32")
+    total_token_chars = tokens.map(lambda ws: sum(len(w) for w in ws) if ws else 0)
+    avg_token_len = (total_token_chars / n_tokens.replace(0, pd.NA)).fillna(0.0).astype("float64")
+    n_upper = s.str.count(r"[A-Z]")
+    upper_ratio = (n_upper / n_chars.replace(0, pd.NA)).fillna(0.0).astype("float64")
+    return pd.DataFrame(
+        {
+            "n_tokens": n_tokens,
+            "n_chars": n_chars,
+            "avg_token_len": avg_token_len,
+            "upper_ratio": upper_ratio,
+        }
+    )

@@ -1,0 +1,6 @@
+"""Query plans: the registry binding each implemented operator to
+(a) a Spark DataFrame builder and (b) a DuckDB oracle SQL string."""
+
+from .registry import QUERIES, QuerySpec, oracle_sql_map, queries_map
+
+__all__ = ["QUERIES", "QuerySpec", "queries_map", "oracle_sql_map"]

@@ -1,0 +1,729 @@
+"""Operator → (Spark query, DuckDB oracle) registry.
+
+Every operator claimed in SURVEY.md §2 gets one entry here; the driver runs
+the Spark side and the oracle side-by-side at sf=0.01 (row-count + schema +
+order-insensitive value hash). Conventions for engine-agnostic hashes:
+
+- every computed column is aliased identically on both sides
+- doubles are rounded to 4 decimals on both sides
+- window/session bounds are emitted as epoch seconds (BIGINT)
+- all queries read the shared deterministic ``transcripts`` derivation
+  (``datamodel.TRANSCRIPTS_CTE``) or the raw parquet tables
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cep import PatternSpec, Step, match_pattern_batch
+from ..datamodel import (
+    epoch_seconds,
+    load_table,
+    tools_dim_df,
+    transcripts_df,
+    with_transcript_views,
+)
+from ..functions import text as TX
+from ..operators import aggregations as AG
+from ..operators import joins as J
+from ..operators import output as OUT
+from ..operators import windows as W
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+
+
+# ---------------------------------------------------------------------------
+# §2.2 filters / projections / scalar expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx, upper(role) AS role_u,
+               length(text) AS text_len,
+               substring(text, 1, 10) AS head,
+               cast(turn_idx AS BIGINT) * 2 + 1 AS oddized
+        FROM transcripts
+        WHERE role = 'tool' AND length(text) > 40 AND turn_idx % 2 = 0
+        """
+    ),
+    doc="WHERE predicate + scalar projection (FilterProcessor "
+    "filter_processor.rs:18 + SelectProcessor select_processor.rs:323)",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return (
+        t.filter((F.col("role") == "tool") & (F.length("text") > 40) & (F.col("turn_idx") % 2 == 0))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.upper("role").alias("role_u"),
+            F.length("text").alias("text_len"),
+            F.substring("text", 1, 10).alias("head"),
+            (F.col("turn_idx").cast("bigint") * 2 + 1).alias("oddized"),
+        )
+    )
+
+
+@register(
+    "scalar_functions",
+    with_transcript_views(
+        """
+        SELECT turn_idx,
+               abs(turn_idx - 30) AS f_abs,
+               cast(ceil(turn_idx / 7.0) AS BIGINT) AS f_ceil,
+               cast(floor(turn_idx / 7.0) AS BIGINT) AS f_floor,
+               round(sqrt(turn_idx), 4) AS f_sqrt,
+               round(power(1.01, turn_idx % 10), 4) AS f_pow,
+               round(exp(turn_idx % 3), 4) AS f_exp,
+               round(ln(turn_idx + 1), 4) AS f_ln,
+               round(log10(turn_idx + 1), 4) AS f_log10,
+               round(sin(turn_idx), 4) AS f_sin,
+               round(cos(turn_idx), 4) AS f_cos,
+               greatest(turn_idx % 7, turn_idx % 5) AS f_max2,
+               least(turn_idx % 7, turn_idx % 5) AS f_min2,
+               lower(role) AS s_lower, upper(role) AS s_upper,
+               trim(concat(' ', role, ' ')) AS s_trim,
+               substring(text, 3, 8) AS s_substr,
+               lpad(role, 12, '*') AS s_lpad,
+               rpad(role, 12, '*') AS s_rpad,
+               reverse(role) AS s_rev,
+               repeat(role, 2) AS s_repeat,
+               replace(text, 'lorem', 'L') AS s_replace,
+               position('turn' IN text) AS s_locate,
+               ascii(role) AS s_ascii,
+               length(text) AS s_len,
+               year(ts) AS d_year, month(ts) AS d_month,
+               day(ts) AS d_day, hour(ts) AS d_hour,
+               coalesce(nullif(tool, ''), 'none') AS c_default,
+               CASE WHEN turn_idx < 10 THEN 'early'
+                    WHEN turn_idx < 40 THEN 'mid' ELSE 'late' END AS c_case
+        FROM transcripts WHERE conv_id <= 'conv000009'
+        """
+    ),
+    doc="scalar builtin coverage: math/string/date/conversion "
+    "(src/core/executor/function/*, feat/builtin_functions/README.md:95-265)",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).filter(F.col("conv_id") <= "conv000009")
+    ti = F.col("turn_idx")
+    return t.select(
+        "turn_idx",
+        F.abs(ti - 30).alias("f_abs"),
+        F.ceil(ti / 7.0).cast("bigint").alias("f_ceil"),
+        F.floor(ti / 7.0).cast("bigint").alias("f_floor"),
+        F.round(F.sqrt(ti), 4).alias("f_sqrt"),
+        F.round(F.pow(F.lit(1.01), ti % 10), 4).alias("f_pow"),
+        F.round(F.exp(ti % 3), 4).alias("f_exp"),
+        F.round(F.log(ti + 1), 4).alias("f_ln"),
+        F.round(F.log10(ti + 1), 4).alias("f_log10"),
+        F.round(F.sin(ti), 4).alias("f_sin"),
+        F.round(F.cos(ti), 4).alias("f_cos"),
+        F.greatest(ti % 7, ti % 5).alias("f_max2"),
+        F.least(ti % 7, ti % 5).alias("f_min2"),
+        F.lower("role").alias("s_lower"),
+        F.upper("role").alias("s_upper"),
+        F.trim(F.concat(F.lit(" "), F.col("role"), F.lit(" "))).alias("s_trim"),
+        F.substring("text", 3, 8).alias("s_substr"),
+        F.lpad("role", 12, "*").alias("s_lpad"),
+        F.rpad("role", 12, "*").alias("s_rpad"),
+        F.reverse("role").alias("s_rev"),
+        F.repeat("role", 2).alias("s_repeat"),
+        F.regexp_replace("text", "lorem", "L").alias("s_replace"),
+        F.locate("turn", F.col("text")).alias("s_locate"),
+        F.ascii("role").alias("s_ascii"),
+        F.length("text").alias("s_len"),
+        F.year("ts").alias("d_year"),
+        F.month("ts").alias("d_month"),
+        F.dayofmonth("ts").alias("d_day"),
+        F.hour("ts").alias("d_hour"),
+        F.coalesce(F.nullif("tool", F.lit("")), F.lit("none")).alias("c_default"),
+        F.when(ti < 10, "early").when(ti < 40, "mid").otherwise("late").alias("c_case"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_turn_counts",
+    with_transcript_views(
+        """
+        SELECT conv_id,
+               cast(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start,
+               cast(floor(epoch(ts)/300)*300 + 300 AS BIGINT) AS window_end,
+               count(*) AS turns,
+               count(*) FILTER (WHERE tool <> '') AS tool_calls
+        FROM transcripts GROUP BY 1, 2, 3
+        """
+    ),
+    doc="FLAGSHIP: 5-min tumbling per-conversation turn counts "
+    "(timeBatch window/mod.rs:965 ≙ F.window)",
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return W.tumbling(
+        t,
+        "5 minutes",
+        ["conv_id"],
+        [
+            F.count(F.lit(1)).alias("turns"),
+            F.count(F.when(F.col("tool") != "", 1)).alias("tool_calls"),
+        ],
+    )
+
+
+@register(
+    "sliding_window_agg",
+    with_transcript_views(
+        """
+        SELECT ws AS window_start, ws + 600 AS window_end, role,
+               count(*) AS n, cast(sum(length(text)) AS BIGINT) AS total_len
+        FROM (
+          SELECT role, text,
+                 unnest(generate_series(
+                   cast(floor(epoch(ts)/60)*60 - 540 AS BIGINT),
+                   cast(floor(epoch(ts)/60)*60 AS BIGINT), 60)) AS ws
+          FROM transcripts
+        ) GROUP BY 1, 2, 3
+        """
+    ),
+    doc="hopping window 10m/1m per role — exceeds the reference, whose "
+    "converter rejects 'sliding' (converter.rs:907-914)",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return W.sliding(
+        t,
+        "10 minutes",
+        "1 minute",
+        ["role"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("total_len"),
+        ],
+    )
+
+
+@register(
+    "session_window_agg",
+    with_transcript_views(
+        """
+        WITH flagged AS (
+          SELECT conv_id, ts, text,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM transcripts
+          WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        ), sess AS (
+          SELECT conv_id, ts, text,
+                 sum(new_session) OVER (PARTITION BY conv_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT conv_id,
+               cast(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+               cast(floor(epoch(max(ts))) + 1800 AS BIGINT) AS session_end,
+               count(*) AS n_turns,
+               cast(sum(length(text)) AS BIGINT) AS total_len
+        FROM sess GROUP BY conv_id, sid
+        """
+    ),
+    doc="session windows, 30-min gap (session_window_processor.rs:27-65 ≙ "
+    "F.session_window); start=first event, end=last event + gap",
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return W.session(
+        t,
+        "30 minutes",
+        ["conv_id"],
+        [
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("total_len"),
+        ],
+    )
+
+
+@register(
+    "length_window_avg",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx,
+               round(avg(length(text)) OVER (PARTITION BY conv_id
+                     ORDER BY ts, turn_idx
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_len3
+        FROM transcripts
+        """
+    ),
+    doc="sliding count window length(3): per-event aggregate over the last 3 "
+    "events of the key (window/mod.rs:63-193)",
+)
+def q_length_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).withColumn("text_len", F.length("text"))
+    out = W.length_window_agg(
+        t, 3, ["conv_id"], {"avg_len3_raw": ("avg", "text_len")}, ["ts", "turn_idx"]
+    )
+    return out.select(
+        "conv_id", "turn_idx", F.round("avg_len3_raw", 4).alias("avg_len3")
+    )
+
+
+@register(
+    "length_batch_agg",
+    with_transcript_views(
+        """
+        WITH numbered AS (
+          SELECT conv_id, text,
+                 cast(floor((row_number() OVER (PARTITION BY conv_id
+                      ORDER BY ts, turn_idx) - 1) / 5) AS INTEGER) AS batch_id
+          FROM transcripts
+        )
+        SELECT conv_id, batch_id, count(*) AS n,
+               cast(sum(length(text)) AS BIGINT) AS batch_len
+        FROM numbered GROUP BY 1, 2
+        """
+    ),
+    doc="tumbling count window lengthBatch(5) (window/mod.rs:645-963)",
+)
+def q_length_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return W.length_batch_agg(
+        t,
+        5,
+        ["conv_id"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("batch_len"),
+        ],
+        ["ts", "turn_idx"],
+    )
+
+
+@register(
+    "sort_window_topk",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx, length(text) AS text_len
+        FROM transcripts
+        QUALIFY row_number() OVER (PARTITION BY conv_id
+                ORDER BY length(text) DESC, turn_idx) <= 3
+        """
+    ),
+    doc="sort window top-K retention (sort_window_processor.rs:25-34): keep "
+    "the 3 longest turns per conversation",
+)
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).withColumn("text_len", F.length("text"))
+    out = W.sort_window_topk(
+        t, 3, ["conv_id"], [F.col("text_len").desc()], ["turn_idx"]
+    )
+    return out.select("conv_id", "turn_idx", "text_len")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "enrichment_join",
+    with_transcript_views(
+        """
+        SELECT t.conv_id, t.turn_idx, t.tool, d.category,
+               round(coalesce(d.cost_weight, 0.0), 4) AS cost_weight
+        FROM transcripts t LEFT JOIN tools_dim d ON t.tool = d.tool
+        WHERE t.role = 'tool'
+        """
+    ),
+    doc="stream-table enrichment join, LEFT OUTER null padding "
+    "(table_join_processor.rs:17-137; broadcast = the scale plan)",
+)
+def q_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).filter(F.col("role") == "tool")
+    d = tools_dim_df(spark)
+    return J.enrichment_join(t, d, on="tool", how="left").select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "category",
+        F.round(F.coalesce("cost_weight", F.lit(0.0)), 4).alias("cost_weight"),
+    )
+
+
+@register(
+    "enrichment_cost_rollup",
+    with_transcript_views(
+        """
+        SELECT d.category, count(*) AS n_calls,
+               round(sum(d.cost_weight), 4) AS total_cost
+        FROM transcripts t JOIN tools_dim d ON t.tool = d.tool
+        GROUP BY d.category
+        """
+    ),
+    doc="enrichment join + rollup: per-category tool-call cost "
+    "(broadcast join → hash agg, zero extra shuffle on the dim)",
+)
+def q_enrichment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    d = tools_dim_df(spark)
+    return (
+        J.enrichment_join(t, d, on="tool", how="inner")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.round(F.sum("cost_weight"), 4).alias("total_cost"),
+        )
+    )
+
+
+@register(
+    "stream_stream_join",
+    with_transcript_views(
+        """
+        SELECT a.conv_id, a.turn_idx AS user_turn, b.turn_idx AS assistant_turn,
+               cast(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS delta_s
+        FROM transcripts a JOIN transcripts b
+          ON a.conv_id = b.conv_id AND b.ts > a.ts
+         AND epoch(b.ts) - epoch(a.ts) <= 300
+        WHERE a.role = 'user' AND b.role = 'assistant'
+        """
+    ),
+    doc="windowed stream-stream join: user×assistant turns of the same "
+    "conversation within 5 minutes (join_processor.rs:18-146, "
+    "join_input_stream.rs:12-19); equi-join on conv_id + time bound",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    a = t.filter(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("user_turn"), F.col("ts").alias("a_ts")
+    )
+    b = t.filter(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("b_conv"),
+        F.col("turn_idx").alias("assistant_turn"),
+        F.col("ts").alias("b_ts"),
+    )
+    joined = a.join(
+        b,
+        (a.conv_id == b.b_conv)
+        & (b.b_ts > a.a_ts)
+        & (epoch_seconds(b.b_ts) - epoch_seconds(a.a_ts) <= 300),
+        "inner",
+    )
+    return joined.select(
+        "conv_id",
+        "user_turn",
+        "assistant_turn",
+        F.floor(epoch_seconds(F.col("b_ts")) - epoch_seconds(F.col("a_ts")))
+        .cast("bigint")
+        .alias("delta_s"),
+    )
+
+
+@register(
+    "in_table_semi",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx, tool FROM transcripts
+        WHERE tool IN (SELECT tool FROM tools_dim WHERE category = 'retrieval')
+        """
+    ),
+    doc="IN <table> membership as left-semi join "
+    "(in_expression_executor.rs:14-60)",
+)
+def q_in_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    d = tools_dim_df(spark).filter(F.col("category") == "retrieval").select("tool")
+    return J.in_table(t, d, on="tool").select("conv_id", "turn_idx", "tool")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_agg_all",
+    with_transcript_views(
+        """
+        SELECT role, count(*) AS n,
+               cast(sum(length(text)) AS BIGINT) AS sum_len,
+               round(avg(length(text)), 4) AS avg_len,
+               min(length(text)) AS min_len, max(length(text)) AS max_len,
+               count(DISTINCT length(text)) AS distinct_lens,
+               round(stddev_pop(length(text)), 4) AS std_len,
+               count(DISTINCT conv_id) AS n_convs
+        FROM transcripts GROUP BY role
+        """
+    ),
+    doc="aggregator registry coverage: sum/avg/count/min/max/distinctCount/"
+    "stdDev (aggregator/mod.rs:172-1536, names :1885-2060)",
+)
+def q_group_agg_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).withColumn("text_len", F.length("text"))
+    return AG.group_agg(
+        t,
+        ["role"],
+        [
+            AG.make_agg("count", "text_len", "n"),
+            F.sum("text_len").alias("sum_len"),
+            F.round(F.avg("text_len"), 4).alias("avg_len"),
+            AG.make_agg("min", "text_len", "min_len"),
+            AG.make_agg("max", "text_len", "max_len"),
+            AG.make_agg("distinctCount", "text_len", "distinct_lens"),
+            F.round(F.stddev_pop("text_len"), 4).alias("std_len"),
+            F.count_distinct(F.col("conv_id")).alias("n_convs"),
+        ],
+    )
+
+
+@register(
+    "first_last_agg",
+    with_transcript_views(
+        """
+        SELECT conv_id,
+               arg_min(text, turn_idx) AS first_text,
+               arg_max(text, turn_idx) AS last_text,
+               count(*) AS n
+        FROM transcripts GROUP BY conv_id
+        """
+    ),
+    doc="first()/last() aggregators over turn order "
+    "(aggregator/mod.rs:1660,1768) via order-deterministic min_by/max_by",
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.min_by("text", "turn_idx").alias("first_text"),
+        F.max_by("text", "turn_idx").alias("last_text"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "having_filter",
+    with_transcript_views(
+        """
+        SELECT conv_id, count(*) AS n_tool_calls
+        FROM transcripts WHERE tool <> ''
+        GROUP BY conv_id HAVING count(*) > 20
+        """
+    ),
+    doc="WHERE-before-agg vs HAVING-after-agg placement "
+    "(select_processor.rs:473-505, GRAMMAR.md:641-666)",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).filter(F.col("tool") != "")
+    return AG.group_agg(
+        t,
+        ["conv_id"],
+        [F.count(F.lit(1)).alias("n_tool_calls")],
+        having=F.col("n_tool_calls") > 20,
+    )
+
+
+@register(
+    "salted_group_agg",
+    with_transcript_views(
+        """
+        SELECT conv_id, cast(sum(length(text)) AS BIGINT) AS sum_len,
+               count(*) AS n
+        FROM transcripts GROUP BY conv_id
+        """
+    ),
+    doc="skew-salted two-phase aggregation — identical results to direct "
+    "GROUP BY, hot keys spread over 16 reducers (SURVEY.md §7.1 skew)",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("bigint")
+    )
+    return AG.salted_group_agg(
+        t,
+        ["conv_id"],
+        {"sum_len": "text_len"},
+        count_alias="n",
+        salt_buckets=16,
+        salt_source="turn_idx",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 output control
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_limit_offset",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx, length(text) AS text_len
+        FROM transcripts
+        ORDER BY length(text) DESC, conv_id, turn_idx
+        LIMIT 20 OFFSET 5
+        """
+    ),
+    doc="ORDER BY + LIMIT/OFFSET (select_processor.rs:377-419,531-535)",
+)
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.length("text").alias("text_len")
+    )
+    return OUT.order_limit_offset(
+        t,
+        [F.col("text_len").desc(), F.col("conv_id"), F.col("turn_idx")],
+        limit=20,
+        offset=5,
+    )
+
+
+@register(
+    "output_first_every",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx FROM (
+          SELECT conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+          FROM transcripts
+        ) WHERE rn % 5 = 1
+        """
+    ),
+    doc="OUTPUT FIRST EVERY 5 EVENTS rate limiting per key "
+    "(ratelimit/*.rs, select_processor.rs:30-38)",
+)
+def q_output_first_every(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return OUT.output_first_every(t, 5, ["conv_id"], ["ts", "turn_idx"]).select(
+        "conv_id", "turn_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 CEP patterns — keyed NFA
+# ---------------------------------------------------------------------------
+
+
+def _flagged_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return (
+        t.withColumn("is_user", F.col("role") == "user")
+        .withColumn("is_assistant", F.col("role") == "assistant")
+        .withColumn("is_tool", F.col("role") == "tool")
+    )
+
+
+@register(
+    "pattern_user_assistant",
+    with_transcript_views(
+        """
+        SELECT u.conv_id,
+               u.turn_idx AS e1_turn_idx,
+               cast(floor(epoch(u.ts)) AS BIGINT) AS e1_epoch,
+               a.turn_idx AS e2_turn_idx,
+               cast(floor(epoch(a.ts)) AS BIGINT) AS e2_epoch
+        FROM transcripts u JOIN transcripts a
+          ON a.conv_id = u.conv_id AND a.role = 'assistant'
+         AND a.ts > u.ts AND epoch(a.ts) - epoch(u.ts) <= 600
+        WHERE u.role = 'user'
+        QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                   ORDER BY a.ts, a.turn_idx) = 1
+        """
+    ),
+    doc="CEP: EVERY e1=user -> e2=assistant WITHIN 10 MINUTES — keyed NFA "
+    "(stream_pre_state_processor.rs:64; every: PATTERN_PROCESSING.md:139-152;"
+    " within: stream_pre_state_processor.rs:282-296). Oracle: first "
+    "subsequent assistant turn per armed user turn.",
+)
+def q_pattern_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _flagged_transcripts(spark, sf_dir)
+    spec = PatternSpec(
+        steps=(
+            Step("e1", "is_user"),
+            Step("e2", "is_assistant"),
+        ),
+        within=pd.Timedelta(minutes=10),
+        every=True,
+    )
+    m = match_pattern_batch(t, spec)
+    return m.select(
+        "conv_id",
+        "e1_turn_idx",
+        F.floor(epoch_seconds("e1_ts")).cast("bigint").alias("e1_epoch"),
+        "e2_turn_idx",
+        F.floor(epoch_seconds("e2_ts")).cast("bigint").alias("e2_epoch"),
+    )
+
+
+@register(
+    "pattern_user_tool_assistant",
+    with_transcript_views(
+        """
+        WITH m1 AS (
+          SELECT u.conv_id, u.turn_idx AS e1_turn_idx, u.ts AS u_ts,
+                 t.turn_idx AS e2_turn_idx, t.ts AS t_ts
+          FROM transcripts u JOIN transcripts t
+            ON t.conv_id = u.conv_id AND t.role = 'tool'
+           AND t.ts > u.ts AND epoch(t.ts) - epoch(u.ts) <= 1800
+          WHERE u.role = 'user'
+          QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                     ORDER BY t.ts, t.turn_idx) = 1
+        )
+        SELECT m1.conv_id, m1.e1_turn_idx, m1.e2_turn_idx,
+               a.turn_idx AS e3_turn_idx
+        FROM m1 JOIN transcripts a
+          ON a.conv_id = m1.conv_id AND a.role = 'assistant'
+         AND a.ts > m1.t_ts AND epoch(a.ts) - epoch(m1.u_ts) <= 1800
+        QUALIFY row_number() OVER (PARTITION BY m1.conv_id, m1.e1_turn_idx
+                                   ORDER BY a.ts, a.turn_idx) = 1
+        """
+    ),
+    doc="CEP 3-step chain: EVERY user -> tool -> assistant WITHIN 30 MINUTES "
+    "(pattern_chain_builder.rs:155; flattening query_parser.rs:39-114)",
+)
+def q_pattern_uta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _flagged_transcripts(spark, sf_dir)
+    spec = PatternSpec(
+        steps=(
+            Step("e1", "is_user"),
+            Step("e2", "is_tool"),
+            Step("e3", "is_assistant"),
+        ),
+        within=pd.Timedelta(minutes=30),
+        every=True,
+    )
+    m = match_pattern_batch(t, spec)
+    return m.select("conv_id", "e1_turn_idx", "e2_turn_idx", "e3_turn_idx")
