@@ -1,0 +1,403 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's operator set (its engine has no dedup primitives):
+exact dedup, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup
+— each a first-class, oracle-gated query over the ``documents`` /
+``embeddings`` tables.
+
+Engine-parity strategy: every hash in the pipeline derives from **md5**, the
+one hash function with identical output in Spark and DuckDB, so the entire
+MinHash/SimHash pipeline (signatures, band buckets, candidate pairs) is
+bit-reproducible in the SQL oracle. Each Spark builder has a ``*_SQL``
+generator emitting the equivalent DuckDB CTE from the SAME Python constants.
+
+Scale design (100 TB corpus):
+- shingling/minhash is a narrow map (no shuffle) after an explode;
+  signatures aggregate with one shuffle on doc_id
+- LSH banding turns the quadratic all-pairs problem into equi-joins on
+  (band_idx, band_key) — the only join is on the band bucket, which is
+  uniformly distributed by construction (hash values)
+- SimHash candidate generation joins on 4-bit chunks (pigeonhole: hamming≤3
+  pairs share ≥1 exact chunk of 4) — again an equi-join, no cross join
+- exact Jaccard verification runs only on LSH candidates
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE_K = 3
+# SimHash runs over 3-gram shingles, not words: the test corpus draws from a
+# ~44-word vocabulary, so word-level simhashes degenerate (every doc within
+# hamming 3 of every other); shingles are distinctive. 32 bits / 4 chunks of
+# 8: hamming≤3 pairs share ≥1 identical chunk (pigeonhole).
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+
+__all__ = [
+    "normalize_ascii",
+    "hash32",
+    "augmented_documents",
+    "exact_dedup",
+    "doc_shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_on_candidates",
+    "simhash",
+    "simhash_near_pairs",
+    "AUG_DOCUMENTS_CTE",
+]
+
+
+# -- shared primitives (Spark side + SQL twin) ------------------------------
+
+def normalize_ascii(c: Column) -> Column:
+    """ASCII-safe normalization (identical regex semantics in Java regex and
+    DuckDB's RE2): lowercase, non-alnum→space, collapse, trim."""
+    out = F.lower(c)
+    out = F.regexp_replace(out, "[^a-z0-9 ]", " ")
+    out = F.regexp_replace(out, " +", " ")
+    return F.trim(out)
+
+
+NORMALIZE_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def hash32(c: Column, seed: int) -> Column:
+    """Deterministic 32-bit hash shared with the oracle: first 8 hex chars of
+    md5(seed:value), parsed as an integer."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), c)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def hash32_sql(c_sql: str, seed: int) -> str:
+    return f"cast('0x' || substr(md5('s{seed}:' || {c_sql}), 1, 8) AS BIGINT)"
+
+
+# -- deterministic near/exact-dup augmented corpus ---------------------------
+# documents.parquet has no duplicates, so dedup queries operate on a derived
+# corpus: originals + near-dup copies (first 14 chars dropped, doc_id+100000,
+# even ids) + exact copies (doc_id+200000, ids % 5 == 0).
+
+AUG_DOCUMENTS_CTE = """
+documents_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 15) AS text
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def augmented_documents(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    near = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.col("text").substr(F.lit(15), F.length("text")).alias("text"),
+        )
+    )
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+# -- exact dedup -------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup on the normalized-text fingerprint: one row
+    per duplicate group (keep = min doc_id). Map-side partial agg → single
+    shuffle on the fingerprint."""
+    return (
+        docs.select("doc_id", F.md5(normalize_ascii(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# -- shingling + MinHash + LSH ------------------------------------------------
+
+def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-word shingles per document (narrow explode, no shuffle)."""
+    words = F.split(normalize_ascii(F.col("text")), " ")
+    # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0] — docs with
+    # fewer than k words must produce no shingles (like DuckDB's empty
+    # generate_series), so gate on size >= k.
+    idx = F.explode(
+        F.when(
+            F.size(F.col("w")) >= k,
+            F.sequence(F.lit(1), F.size(F.col("w")) - (k - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    d = docs.select("doc_id", words.alias("w")).select(
+        "doc_id", "w", idx.alias("i")
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at(F.col("w"), F.col("i") + j) for j in range(k)]
+    )
+    return d.select("doc_id", shingle.alias("shingle")).distinct()
+
+
+def shingles_sql(k: int = SHINGLE_K) -> str:
+    norm = NORMALIZE_SQL.format(c="text")
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+shingled AS (
+  SELECT doc_id, string_split({norm}, ' ') AS w FROM documents_aug
+),
+shingles AS (
+  SELECT DISTINCT doc_id, {parts} AS shingle
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - {k - 1}, 0))) AS i
+        FROM shingled)
+)
+"""
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signature: per doc, min of each seeded hash over its shingles.
+    One hash agg on doc_id — the explode never leaves the partition."""
+    aggs = [
+        F.min(hash32(F.col("shingle"), i)).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_sql(n_hashes: int = N_HASHES) -> str:
+    mins = ",\n         ".join(
+        f"min({hash32_sql('shingle', i)}) AS mh{i}" for i in range(n_hashes)
+    )
+    return f"""
+signatures AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id
+)
+"""
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become a candidate
+    pair. Band key = md5 over the band's signature slice; candidates come
+    from an equi-self-join on (band, key) — never a cross join."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        band_rows.append(
+            sig.select("doc_id", F.lit(b).alias("band"), key.alias("bkey"))
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_pairs_sql(bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> str:
+    selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"cast(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM signatures")
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+buckets AS (
+  {union}
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+"""
+
+
+def jaccard_on_candidates(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard, computed only for LSH candidates:
+    |A∩B| via join on shingle, |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+JACCARD_SQL = """
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM cand_pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         round(n_inter / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+)
+"""
+
+
+# -- SimHash ------------------------------------------------------------------
+
+def simhash(sh: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over shingle tokens: bit b is the sign of Σ over
+    shingles of (±1 by bit b of the shingle hash). One agg per doc.
+
+    Input: (doc_id, shingle) from :func:`doc_shingles`."""
+    d = sh
+    h = hash32(F.col("shingle"), 99)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bs{b}")
+        for b in range(bits)
+    ]
+    agg = d.groupBy("doc_id").agg(*bit_sums)
+    sh = None
+    for b in range(bits):
+        term = F.when(F.col(f"bs{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sh = term if sh is None else (sh + term)
+    return agg.select("doc_id", sh.cast("bigint").alias("simhash"))
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    """SQL twin of :func:`simhash`; requires the ``shingles`` CTE
+    (:func:`shingles_sql`) upstream."""
+    h = hash32_sql("shingle", 99)
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bs{b}"
+        for b in range(bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN bs{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+bitsums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM shingles GROUP BY doc_id
+),
+simhashes AS (
+  SELECT doc_id, cast({recompose} AS BIGINT) AS simhash FROM bitsums
+)
+"""
+
+
+def simhash_near_pairs(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split the hash into ``chunks`` equal bit-chunks; any
+    pair within hamming ≤ chunks-1 agrees on ≥1 full chunk → candidates from
+    an equi-join on (chunk_idx, chunk_value), verified by bit_count(xor).
+    """
+    cw = bits // chunks
+    mask = (1 << cw) - 1
+    chunk_rows = [
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * cw).bitwiseAND(F.lit(mask)).alias("cval"),
+        )
+        for c in range(chunks)
+    ]
+    buckets = chunk_rows[0]
+    for cr in chunk_rows[1:]:
+        buckets = buckets.unionByName(cr)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs_sql(
+    max_hamming: int = 3, bits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS
+) -> str:
+    cw = bits // chunks
+    mask = (1 << cw) - 1
+    selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * cw}) & {mask} AS cval"
+        " FROM simhashes"
+        for c in range(chunks)
+    )
+    return f"""
+sim_buckets AS (
+  {selects}
+),
+sim_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM sim_buckets a JOIN sim_buckets b
+    ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+)
+"""

@@ -2,5 +2,6 @@
 (a) a Spark DataFrame builder and (b) a DuckDB oracle SQL string."""
 
 from .registry import QUERIES, QuerySpec, oracle_sql_map, queries_map
+from . import registry_data  # noqa: F401 — registers documents/embeddings queries
 
 __all__ = ["QUERIES", "QuerySpec", "queries_map", "oracle_sql_map"]

@@ -419,12 +419,12 @@ def q_enrichment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS delta_s
         FROM transcripts a JOIN transcripts b
           ON a.conv_id = b.conv_id AND b.ts > a.ts
-         AND epoch(b.ts) - epoch(a.ts) <= 300
+         AND epoch(b.ts) - epoch(a.ts) <= 7200
         WHERE a.role = 'user' AND b.role = 'assistant'
         """
     ),
     doc="windowed stream-stream join: user×assistant turns of the same "
-    "conversation within 5 minutes (join_processor.rs:18-146, "
+    "conversation within 2 hours (join_processor.rs:18-146, "
     "join_input_stream.rs:12-19); equi-join on conv_id + time bound",
 )
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,7 +441,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (a.conv_id == b.b_conv)
         & (b.b_ts > a.a_ts)
-        & (epoch_seconds(b.b_ts) - epoch_seconds(a.a_ts) <= 300),
+        & (epoch_seconds(b.b_ts) - epoch_seconds(a.a_ts) <= 7200),
         "inner",
     )
     return joined.select(
@@ -657,13 +657,13 @@ def _flagged_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(floor(epoch(a.ts)) AS BIGINT) AS e2_epoch
         FROM transcripts u JOIN transcripts a
           ON a.conv_id = u.conv_id AND a.role = 'assistant'
-         AND a.ts > u.ts AND epoch(a.ts) - epoch(u.ts) <= 600
+         AND a.ts > u.ts AND epoch(a.ts) - epoch(u.ts) <= 43200
         WHERE u.role = 'user'
         QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
                                    ORDER BY a.ts, a.turn_idx) = 1
         """
     ),
-    doc="CEP: EVERY e1=user -> e2=assistant WITHIN 10 MINUTES — keyed NFA "
+    doc="CEP: EVERY e1=user -> e2=assistant WITHIN 12 HOURS — keyed NFA "
     "(stream_pre_state_processor.rs:64; every: PATTERN_PROCESSING.md:139-152;"
     " within: stream_pre_state_processor.rs:282-296). Oracle: first "
     "subsequent assistant turn per armed user turn.",
@@ -675,7 +675,7 @@ def q_pattern_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
             Step("e1", "is_user"),
             Step("e2", "is_assistant"),
         ),
-        within=pd.Timedelta(minutes=10),
+        within=pd.Timedelta(hours=12),
         every=True,
     )
     m = match_pattern_batch(t, spec)
@@ -697,7 +697,7 @@ def q_pattern_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
                  t.turn_idx AS e2_turn_idx, t.ts AS t_ts
           FROM transcripts u JOIN transcripts t
             ON t.conv_id = u.conv_id AND t.role = 'tool'
-           AND t.ts > u.ts AND epoch(t.ts) - epoch(u.ts) <= 1800
+           AND t.ts > u.ts AND epoch(t.ts) - epoch(u.ts) <= 172800
           WHERE u.role = 'user'
           QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
                                      ORDER BY t.ts, t.turn_idx) = 1
@@ -706,12 +706,12 @@ def q_pattern_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
                a.turn_idx AS e3_turn_idx
         FROM m1 JOIN transcripts a
           ON a.conv_id = m1.conv_id AND a.role = 'assistant'
-         AND a.ts > m1.t_ts AND epoch(a.ts) - epoch(m1.u_ts) <= 1800
+         AND a.ts > m1.t_ts AND epoch(a.ts) - epoch(m1.u_ts) <= 172800
         QUALIFY row_number() OVER (PARTITION BY m1.conv_id, m1.e1_turn_idx
                                    ORDER BY a.ts, a.turn_idx) = 1
         """
     ),
-    doc="CEP 3-step chain: EVERY user -> tool -> assistant WITHIN 30 MINUTES "
+    doc="CEP 3-step chain: EVERY user -> tool -> assistant WITHIN 48 HOURS "
     "(pattern_chain_builder.rs:155; flattening query_parser.rs:39-114)",
 )
 def q_pattern_uta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,7 +722,7 @@ def q_pattern_uta(spark: SparkSession, sf_dir: str) -> DataFrame:
             Step("e2", "is_tool"),
             Step("e3", "is_assistant"),
         ),
-        within=pd.Timedelta(minutes=30),
+        within=pd.Timedelta(hours=48),
         every=True,
     )
     m = match_pattern_batch(t, spec)

@@ -1,0 +1,329 @@
+"""Registry part 2: training-data pipeline operators over documents /
+embeddings — dedup suite, similarity search, text analysis.
+
+Imported by ``registry`` for its side effects (query registration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import dedup as DD
+from .. import similarity as SIM
+from ..datamodel import load_table
+from ..functions import text as TX
+from .registry import register
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.augmented_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _docs_sql(body: str, extra_ctes: list[str] | None = None) -> str:
+    ctes = [DD.AUG_DOCUMENTS_CTE.strip()]
+    ctes.extend(c.strip().lstrip(",").strip() for c in (extra_ctes or []))
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+# ---------------------------------------------------------------------------
+# dedup suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    _docs_sql(
+        f"""
+        SELECT fp, keep_id, n_copies FROM (
+          SELECT md5({DD.NORMALIZE_SQL.format(c='text')}) AS fp,
+                 min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM documents_aug GROUP BY 1
+        ) WHERE n_copies > 1
+        """
+    ),
+    doc="exact dedup via hash-groupBy on the normalized-text fingerprint "
+    "(one shuffle, map-side partial agg)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_aug_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_lsh",
+    _docs_sql(
+        "SELECT doc_a, doc_b FROM cand_pairs",
+        extra_ctes=[DD.shingles_sql(), DD.minhash_sql(), DD.lsh_pairs_sql()],
+    ),
+    doc="MinHash(16)+LSH(4 bands×4 rows) candidate pairs — shingle → "
+    "signature → band-bucket equi-join; md5-derived hashes keep the whole "
+    "pipeline oracle-reproducible",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _aug_docs(spark, sf_dir)
+    sh = DD.doc_shingles(docs)
+    sig = DD.minhash_signatures(sh)
+    return DD.lsh_candidate_pairs(sig)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _docs_sql(
+        "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5",
+        extra_ctes=[
+            DD.shingles_sql(),
+            DD.minhash_sql(),
+            DD.lsh_pairs_sql(),
+            DD.JACCARD_SQL,
+        ],
+    ),
+    doc="exact 3-gram Jaccard verification on LSH candidates (never all-"
+    "pairs): near-dups at J>=0.5",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _aug_docs(spark, sf_dir)
+    sh = DD.doc_shingles(docs)
+    pairs = DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
+    return DD.jaccard_on_candidates(sh, pairs).filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "dedup_simhash",
+    _docs_sql(
+        "SELECT doc_a, doc_b, hamming FROM sim_pairs WHERE hamming <= 3",
+        extra_ctes=[DD.shingles_sql(), DD.simhash_sql(), DD.simhash_pairs_sql()],
+    ),
+    doc="SimHash(32-bit over 3-gram shingles) near-dup pairs at hamming<=3 "
+    "via 8-bit chunk pigeonhole equi-join (no cross join)",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _aug_docs(spark, sf_dir)
+    sh = DD.simhash(DD.doc_shingles(docs))
+    return DD.simhash_near_pairs(sh, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {SIM.AUG_EMBEDDINGS_CTE.strip()}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({SIM.qcosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM embeddings_aug a JOIN embeddings_aug b ON a.vec_id < b.vec_id
+    WHERE {SIM.qcosine_sql('a.embedding', 'b.embedding')} >= 0.99
+    """,
+    doc="embedding-cosine near-dup pairs (cos>=0.99) over the augmented "
+    "corpus via quantized-integer cosine (bit-identical across engines); "
+    "brute force at test scale, LSH-bucketed at 100TB",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = SIM.augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = SIM.qcosine(F.col("ea"), F.col("eb"))
+    return (
+        joined.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.99)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_bruteforce",
+    f"""
+    SELECT q_id, n_id, round(cos_raw, 4) AS cos_sim, cast(rank AS INTEGER) AS rank
+    FROM (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             {SIM.qcosine_sql('q.embedding', 'n.embedding')} AS cos_raw,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {SIM.qcosine_sql('q.embedding', 'n.embedding')} DESC,
+                        n.vec_id) AS rank
+      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-5 for 10 query vectors: broadcast queries × "
+    "streamed corpus, codegen'd quantized dot products, per-query top-k",
+)
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    scored = (
+        F.broadcast(
+            queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        )
+        .crossJoin(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            SIM.qcosine(F.col("q_emb"), F.col("n_emb")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("cos_raw", 4).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "similarity_lsh_bucketed",
+    f"""
+    SELECT {SIM.lsh_bucket_sql('embedding')} AS bucket,
+           count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+    FROM embeddings GROUP BY 1
+    """,
+    doc="random-hyperplane LSH bucketing (8 planes → 256 buckets): the ANN "
+    "scale path — candidate generation becomes an equi-join on bucket; "
+    "hyperplanes are deterministic literals shared with the oracle",
+)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("bucket", SIM.lsh_bucket(F.col("embedding")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           cast(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+             AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY source
+    """,
+    doc="token counting (whitespace tokenizer) + per-source corpus stats",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", TX.token_count(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    terms = [
+        "len(regexp_extract_all(' ' || lower(text) || ' ', '( {w} )', 0))".format(w=w)
+        for w in TX.LANG_MARKERS[lang]
+    ]
+    return " + ".join(terms)
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(TX.LANG_MARKERS)
+    scores = {lang: _lang_hits_sql(lang) for lang in langs}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    expr = "'und'"
+    for lang in sorted(langs, reverse=True):
+        expr = (
+            f"CASE WHEN ({scores[lang]}) = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT lang_pred, count(*) AS n
+    FROM (SELECT {_lang_id_sql()} AS lang_pred FROM documents)
+    GROUP BY lang_pred
+    """,
+    doc="heuristic language ID (marker-word argmax) — oracle SQL generated "
+    "from the SAME marker lists (functions/text.py LANG_MARKERS)",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", TX.lang_id(F.col("text")))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_quality_scores",
+    """
+    SELECT doc_id, round(
+        0.4 * (CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+      + 0.4 * (CASE WHEN length(text) > 0
+               THEN len(regexp_extract_all(text, '([a-zA-Z0-9])', 0)) / length(text)
+               ELSE 0.0 END)
+      + 0.2 * least(1.0,
+          (len(regexp_extract_all(' ' || lower(text) || ' ', '( the )', 0))
+         + len(regexp_extract_all(' ' || lower(text) || ' ', '( and )', 0))
+         + len(regexp_extract_all(' ' || lower(text) || ' ', '( of )', 0))
+         + len(regexp_extract_all(' ' || lower(text) || ' ', '( is )', 0))
+         + len(regexp_extract_all(' ' || lower(text) || ' ', '( to )', 0)))
+          * 4.0 / len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS quality
+    FROM documents
+    """,
+    doc="document quality scoring: length band + alnum ratio + stopword "
+    "density (deterministic formula, both engines)",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    alnum = F.size(F.regexp_extract_all(F.col("text"), F.lit("([a-zA-Z0-9])"), F.lit(0)))
+    len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    toks = TX.token_count(F.col("text"))
+    stop = TX.stopword_hits(F.col("text"), "en")
+    quality = F.round(
+        0.4 * len_ok
+        + 0.4 * F.when(n > 0, alnum / n).otherwise(F.lit(0.0))
+        + 0.2 * F.least(F.lit(1.0), stop * 4.0 / toks),
+        4,
+    )
+    return docs.select("doc_id", quality.alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({DD.NORMALIZE_SQL.format(c='text')}) AS fp
+    FROM documents
+    """,
+    doc="document fingerprinting (md5 of normalized text) — the dedup key "
+    "primitive",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(DD.normalize_ascii(F.col("text"))).alias("fp")
+    )

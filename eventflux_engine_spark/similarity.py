@@ -1,0 +1,249 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- **brute-force cosine top-k** (the correctness baseline): JVM-side
+  ``zip_with``/``aggregate`` expressions — no Python, whole-stage codegen —
+  over an equi- or cross-join. Exact, O(N·Q).
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures turn
+  the cross join into an equi-join on the bucket id. Hyperplanes are
+  deterministic literals (seeded), shared verbatim with the SQL oracle.
+- **numpy batch kNN** (:func:`knn_batch_pandas`): Arrow-batched
+  ``mapInPandas`` matmul against a broadcast query matrix — the
+  high-throughput variant used by the bench (vectorized, no per-row Python).
+
+Embedding near-dup augmentation mirrors ``dedup.augmented_documents``:
+the driver's embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so
+near-dup queries operate on a corpus augmented with deterministic
+perturbations (relative ±5%·sin(i) per component → cosine ≈ 0.999).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HYPERPLANES = 8
+DIM = 64
+
+__all__ = [
+    "dot",
+    "norm",
+    "cosine",
+    "augmented_embeddings",
+    "AUG_EMBEDDINGS_CTE",
+    "brute_force_topk",
+    "hyperplanes",
+    "lsh_bucket",
+    "lsh_bucket_sql",
+    "knn_batch_pandas",
+]
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- quantized cosine: bit-identical across engines --------------------------
+# Floating-point fold order differs between Spark's aggregate() and DuckDB's
+# list_cosine_similarity, so raw cosines can disagree in the last ulp and
+# flip a round(,4) at a boundary — fatal for the driver's value-hash compare.
+# Quantizing components to integers (floor(x·10⁴)) makes the dot product
+# EXACT (bigint) and the remaining sqrt/divide are IEEE correctly-rounded on
+# identical inputs → identical doubles in both engines.
+
+Q_SCALE = 10_000
+
+
+def _quant(x: Column) -> Column:
+    return F.floor(x.cast("double") * Q_SCALE).cast("bigint")
+
+
+def qdot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def qcosine(a: Column, b: Column) -> Column:
+    return qdot(a, b).cast("double") / (
+        F.sqrt(qdot(a, a).cast("double")) * F.sqrt(qdot(b, b).cast("double"))
+    )
+
+
+def qdot_sql(a: str, b: str) -> str:
+    q = f"cast(floor(cast({{v}}[i] AS DOUBLE) * {Q_SCALE}) AS BIGINT)"
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {q.format(v=a)} * {q.format(v=b)}))"
+    )
+
+
+def qcosine_sql(a: str, b: str) -> str:
+    return (
+        f"(cast({qdot_sql(a, b)} AS DOUBLE) / "
+        f"(sqrt(cast({qdot_sql(a, a)} AS DOUBLE)) * "
+        f"sqrt(cast({qdot_sql(b, b)} AS DOUBLE))))"
+    )
+
+
+# -- deterministic near-dup augmentation --------------------------------------
+
+# perturbation factors are exact rational arithmetic on the 1-based
+# component index ((i%7)-3 ∈ [-3,3] → factor 0.85..1.15) — no libm calls, so
+# Spark and DuckDB produce identical float components. Resulting cosine with
+# the original ≈ 0.995 (>0.99 threshold); unrelated pairs max ≈ 0.51.
+AUG_EMBEDDINGS_CTE = """
+embeddings_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding,
+           (x, i) -> cast(cast(x AS DOUBLE) * (1 + 0.05 * ((i % 7) - 3)) AS FLOAT)
+         ) AS embedding
+  FROM embeddings WHERE vec_id % 3 = 0
+)
+"""
+
+
+def augmented_embeddings(emb: DataFrame) -> DataFrame:
+    base = emb.select("vec_id", "embedding")
+    pert = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            # Spark's lambda index is 0-based, DuckDB's 1-based → i+1
+            lambda x, i: (
+                x.cast("double") * (1 + 0.05 * (((i + 1) % 7) - 3))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+# -- brute force ---------------------------------------------------------------
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, exclude_self: bool = True
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Plan: broadcast the (small) query side, stream the corpus through a
+    single pass — one broadcast-nested-loop with codegen'd dot products, then
+    a per-query top-k (row_number over cosine desc). At cluster scale the
+    corpus side stays partitioned; no corpus shuffle happens.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    )
+    joined = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        joined = joined.filter(F.col("q_id") != F.col("n_id"))
+    scored = joined.select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 4).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )
+
+
+# -- LSH (random hyperplane) ----------------------------------------------------
+
+def hyperplanes(n: int = N_HYPERPLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded, engine-agnostic
+    literals): component h[j][d] = sin(1 + j*dim + d), a fixed quasi-random
+    sequence both engines can inline."""
+    return [
+        [math.sin(1 + j * dim + d) for d in range(dim)] for j in range(n)
+    ]
+
+
+def lsh_bucket(emb_col: Column, n: int = N_HYPERPLANES, dim: int = DIM) -> Column:
+    """Bucket id = sign bits of the dot products with the hyperplanes."""
+    planes = hyperplanes(n, dim)
+    bucket = None
+    for j, plane in enumerate(planes):
+        d = dot(emb_col, F.array(*[F.lit(v) for v in plane]))
+        bit = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return bucket.cast("int")
+
+
+def lsh_bucket_sql(emb_sql: str, n: int = N_HYPERPLANES, dim: int = DIM) -> str:
+    planes = hyperplanes(n, dim)
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb_sql}, {arr}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "cast(" + " + ".join(terms) + " AS INTEGER)"
+
+
+# -- Arrow-batched numpy kNN (bench hot path) -----------------------------------
+
+def knn_batch_pandas(
+    corpus: DataFrame, query_matrix: np.ndarray, query_ids: np.ndarray, k: int
+) -> DataFrame:
+    """Top-k per query via per-partition numpy matmul.
+
+    The query matrix ships to executors once (task closure ~ broadcast);
+    each Arrow batch of corpus vectors is scored with one BLAS matmul.
+    Output: per (query, partition) local top-k — caller finishes with a
+    global top-k per query (cheap: partitions × k rows).
+    """
+    qn = query_matrix / np.linalg.norm(query_matrix, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = qn @ Mn.T  # (Q, B)
+            kk = min(k, S.shape[1])
+            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "q_id": np.repeat(query_ids, kk),
+                "n_id": pdf["vec_id"].to_numpy()[top].ravel(),
+                "cos_sim": np.take_along_axis(S, top, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        score, schema="q_id long, n_id long, cos_sim double"
+    )
