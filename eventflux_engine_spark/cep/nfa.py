@@ -49,7 +49,8 @@ def _emit_row(spec: PatternSpec, key: Any, matched: list[list[dict]]) -> dict:
     for i, s in enumerate(spec.steps):
         last = matched[i][-1]
         row[f"{s.name}_turn_idx"] = last["turn_idx"]
-        row[f"{s.name}_ts"] = last[spec.ts_col]
+        # event dicts carry ts as int ns (JSON-serializable group state)
+        row[f"{s.name}_ts"] = pd.Timestamp(last[spec.ts_col])
         if s.max_count > 1:
             row[f"{s.name}_count"] = len(matched[i])
         for c in s.emit:
@@ -76,14 +77,16 @@ def run_nfa(
     pdf = pdf.sort_values(list(spec.order_cols), kind="mergesort")
     key = pdf[spec.key_col].iloc[0] if len(pdf) else None
     fields = _event_fields(spec)
-    field_arrays = {f: pdf[f].to_numpy() for f in fields}
-    flag_arrays = [pdf[s.flag_col].to_numpy() for s in spec.steps]
     ts_ns = pd.to_datetime(pdf[spec.ts_col]).astype("int64").to_numpy()
+    field_arrays = {f: pdf[f].to_numpy() for f in fields}
+    field_arrays[spec.ts_col] = ts_ns  # keep ts as int ns inside event dicts
+    flag_arrays = [pdf[s.flag_col].to_numpy() for s in spec.steps]
     within_ns = int(spec.within.value) if spec.within is not None else None
     n_steps = len(spec.steps)
 
     def event_dict(i: int) -> dict:
-        return {f: field_arrays[f][i] for f in fields}
+        # .item() → JSON-serializable Python natives for cross-batch state
+        return {f: field_arrays[f][i].item() if hasattr(field_arrays[f][i], "item") else field_arrays[f][i] for f in fields}
 
     def try_advance(inst: dict, row: int, ev: dict | None) -> list[dict]:
         """Apply event ``row`` to ``inst``; mutates/branches; returns
@@ -126,7 +129,7 @@ def run_nfa(
         return survivors
 
     for row in range(len(pdf)):
-        t = ts_ns[row]
+        t = int(ts_ns[row])  # python int: instances must stay JSON-serializable
         # 1) reactive expiry of partials past their WITHIN deadline
         if within_ns is not None:
             instances = [

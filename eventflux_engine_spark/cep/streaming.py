@@ -1,0 +1,138 @@
+"""Streaming executor for pattern specs: keyed NFA in
+``applyInPandasWithState`` (the north-star design, SURVEY.md §2.6).
+
+Correct event-time semantics under out-of-order arrival:
+
+1. new rows are BUFFERED in group state, not matched immediately;
+2. on every invocation, rows with ``ts <= current watermark`` are final —
+   they replay through the shared transition core (``run_nfa``) in
+   ``(ts, turn_idx)`` order, exactly like the reference's per-event arrival
+   discipline (``stream_pre_state_processor.rs``);
+3. newer rows stay buffered; an event-time timeout is armed at the earliest
+   buffered timestamp so the group is woken to flush once the watermark
+   passes it — even if no new data arrives for the key.
+
+This preserves the reference's strict arrival-order invariant (SURVEY §7.4)
+with bounded lateness = the watermark delay. Partial matches and buffered
+rows persist across micro-batches as JSON in the state store (RocksDB-backed
+in production configs), so the query is resumable from checkpoint.
+
+Scale: state per key is O(buffered window + live partial matches); the
+within-deadline prunes instances, the watermark prunes the buffer. Keys are
+hash-partitioned on ``conv_id`` — the same exchange the windowed aggregates
+use.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .batch import output_schema
+from .nfa import run_nfa
+from .spec import PatternSpec
+
+STATE_SCHEMA = "buffered STRING, instances STRING, matched_done BOOLEAN"
+
+
+def _ts_to_ns(series: pd.Series) -> pd.Series:
+    return pd.to_datetime(series).astype("datetime64[ns]")
+
+
+def match_pattern_stream(
+    df: DataFrame,
+    spec: PatternSpec,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Run the pattern over an unbounded (streaming) DataFrame.
+
+    ``df`` must carry the per-step boolean flag columns (evaluate predicates
+    as Catalyst expressions upstream) — same contract as the batch executor.
+    """
+    out_schema = output_schema(spec, df.schema)
+    col_order = [f.name for f in out_schema.fields]
+    ts_col = spec.ts_col
+    key_col = spec.key_col
+
+    needed = {key_col, "turn_idx", ts_col}
+    needed.update(s.flag_col for s in spec.steps)
+    for s in spec.steps:
+        needed.update(s.emit)
+    needed.update(spec.order_cols)
+    buffer_cols = sorted(needed - {key_col})
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buffered_json, instances_json, matched_done = state.get
+            buffered: dict[str, list] = json.loads(buffered_json)
+            instances = json.loads(instances_json)
+        else:
+            buffered = {c: [] for c in buffer_cols}
+            instances = []
+            matched_done = False
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for c in buffer_cols:
+                vals = pdf[c]
+                if c == ts_col:
+                    vals = _ts_to_ns(vals).astype("int64")
+                buffered[c].extend(
+                    v.item() if hasattr(v, "item") else v for v in vals
+                )
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
+        ts_vals = buffered[ts_col]
+        ready_idx = [i for i, t in enumerate(ts_vals) if t <= wm_ns]
+        rest_idx = [i for i, t in enumerate(ts_vals) if t > wm_ns]
+
+        out_rows: list[dict] = []
+        if ready_idx:
+            ready = {c: [buffered[c][i] for i in ready_idx] for c in buffer_cols}
+            pdf = pd.DataFrame(ready)
+            pdf[ts_col] = pd.to_datetime(pdf[ts_col])
+            pdf[key_col] = key[0]
+            out_rows, instances, matched_done = run_nfa(
+                pdf, spec, instances=instances, matched_done=matched_done
+            )
+            buffered = {c: [buffered[c][i] for i in rest_idx] for c in buffer_cols}
+
+        done_flag_needed = (not spec.every) and matched_done
+        if not buffered[ts_col] and not instances and not done_flag_needed:
+            state.remove()  # nothing to remember — fresh state is equivalent
+        else:
+            state.update(
+                (json.dumps(buffered), json.dumps(instances), bool(matched_done))
+            )
+            if buffered[ts_col]:
+                # wake this key when the watermark passes its oldest buffered
+                # event (must arm strictly past the current watermark)
+                wake_ms = max(min(buffered[ts_col]) // 1_000_000, wm_ms + 1)
+                state.setTimeoutTimestamp(wake_ms)
+
+        if out_rows:
+            out = pd.DataFrame(out_rows)
+            yield out[col_order]
+
+    pruned = (
+        df.select(key_col, *buffer_cols)
+        # watermark needs TIMESTAMP (LTZ); UTC session makes the cast exact
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
+    )
+    return pruned.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

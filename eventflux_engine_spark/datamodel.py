@@ -39,7 +39,9 @@ TRANSCRIPT_SCHEMA = T.StructType(
         T.StructField("role", T.StringType(), False),
         T.StructField("text", T.StringType(), False),
         T.StructField("tool", T.StringType(), False),
-        T.StructField("ts", T.TimestampType(), False),
+        # NTZ: the driver's parquet carries timezone-naive timestamps and
+        # Spark 4 reads them as TIMESTAMP_NTZ; session TZ is pinned UTC
+        T.StructField("ts", T.TimestampNTZType(), False),
     ]
 )
 

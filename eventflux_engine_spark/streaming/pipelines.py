@@ -1,0 +1,124 @@
+"""Streaming pipeline builders — the streaming twins of operators/windows.py
+and operators/joins.py, with watermarks so state is evictable.
+
+Emission-contract mapping (SURVEY.md §2.4 GROUP BY emission):
+- non-windowed GROUP BY → ``update`` output mode (reference emits one running
+  row per touched group per chunk, ``select_processor.rs:483-529``)
+- windowed/session aggregations → ``append`` after the watermark closes the
+  window (≙ reference batch-window flush EXPIRED→RESET→CURRENT,
+  ``window/mod.rs:1034-1075``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling_stream",
+    "sliding_stream",
+    "session_stream",
+    "group_agg_update_stream",
+    "stream_stream_join",
+    "enrichment_join_stream",
+]
+
+
+def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); the driver's parquet is NTZ.
+    Under the pinned UTC session timezone the cast is value-preserving."""
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
+def tumbling_stream(
+    df: DataFrame,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        _ltz(df, ts_col).withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding_stream(
+    df: DataFrame,
+    size: str,
+    slide: str,
+    keys: list[str],
+    aggs: list[Column],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        _ltz(df, ts_col).withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), size, slide).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session_stream(
+    df: DataFrame,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        _ltz(df, ts_col).withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def group_agg_update_stream(
+    df: DataFrame, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Non-windowed running aggregation — run with outputMode('update') to
+    reproduce the reference's one-row-per-touched-group-per-chunk contract."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delta_s: int,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join with a time bound on both sides so
+    Spark can evict join state (≙ reference JoinProcessor buffers, which the
+    reference never evicts — ``join_processor.rs:18-146``; we do better)."""
+    lw = _ltz(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _ltz(right, right_ts).withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] > lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delta_s} SECONDS"))
+    )
+    return lw.join(rw, cond, how)
+
+
+def enrichment_join_stream(
+    stream: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join; the static side broadcasts
+    (≙ TableJoinProcessor's O(1) indexed lookup)."""
+    return stream.join(F.broadcast(dim), on=on, how=how)

@@ -1,0 +1,210 @@
+"""Streaming semantics tests: micro-batch feeds, watermark-ordered NFA,
+exactly-once sink, checkpoint resume.
+
+Idiom ≙ reference AppRunner (``tests/common/mod.rs:31``): feed controlled
+chunks, drain, compare exact rows against the batch (bounded) computation of
+the same operator on the same input.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from eventflux_engine_spark.cep import PatternSpec, Step, match_pattern_batch
+from eventflux_engine_spark.cep.streaming import match_pattern_stream
+from eventflux_engine_spark.datamodel import TRANSCRIPT_SCHEMA, transcripts_df
+from eventflux_engine_spark.streaming import (
+    ExactlyOnceParquetSink,
+    chunked_feed,
+    stream_from_dir,
+)
+from eventflux_engine_spark.streaming import pipelines as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = f"/tmp/efs_test_{uuid.uuid4().hex[:8]}"
+    os.makedirs(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _flagged(df):
+    return df.withColumn("is_user", F.col("role") == "user").withColumn(
+        "is_assistant", F.col("role") == "assistant"
+    )
+
+
+@pytest.fixture()
+def fed_transcripts(spark, tmpdir):
+    """Transcripts + a far-future sentinel row, fed as 4 event-time-ordered
+    chunks (sentinel last, to push the watermark past all real data)."""
+    t = transcripts_df(spark, SF)
+    import datetime
+
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", 0, "user", "", "", datetime.datetime(2024, 6, 1))],
+        schema=t.schema,
+    )
+    feed_dir = os.path.join(tmpdir, "feed")
+    chunked_feed(t.unionByName(sentinel), feed_dir, 4, ["ts", "conv_id", "turn_idx"])
+    return t, feed_dir
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def _sorted_pdf(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            s = pd.to_datetime(pdf[c])
+            pdf[c] = s.dt.tz_localize(None) if s.dt.tz is not None else s
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+class TestWindowedStreams:
+    def test_tumbling_stream_matches_batch(self, spark, fed_transcripts):
+        t, feed_dir = fed_transcripts
+        stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+        aggs = [F.count(F.lit(1)).alias("turns")]
+        out = P.tumbling_stream(stream, "5 minutes", ["conv_id"], aggs)
+        name = _run_to_memory(out, "tumbling_out")
+        got = (
+            spark.sql(f"SELECT conv_id, turns, window_start FROM {name}")
+            .filter(F.col("conv_id") != "__sentinel__")
+            .toPandas()
+        )
+        want = (
+            t.groupBy(F.window("ts", "5 minutes").alias("w"), "conv_id")
+            .agg(*aggs)
+            .select("conv_id", "turns", F.col("w.start").alias("window_start"))
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
+
+    def test_session_stream_matches_batch(self, spark, fed_transcripts):
+        t, feed_dir = fed_transcripts
+        stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+        aggs = [F.count(F.lit(1)).alias("n_turns")]
+        out = P.session_stream(stream, "30 minutes", ["conv_id"], aggs)
+        name = _run_to_memory(out, "session_out")
+        got = (
+            spark.sql(f"SELECT conv_id, n_turns, session_start FROM {name}")
+            .filter(F.col("conv_id") != "__sentinel__")
+            .toPandas()
+        )
+        want = (
+            t.groupBy(F.session_window("ts", "30 minutes").alias("w"), "conv_id")
+            .agg(*aggs)
+            .select("conv_id", "n_turns", F.col("w.start").alias("session_start"))
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
+
+
+class TestStreamingNFA:
+    def test_pattern_stream_matches_batch(self, spark, fed_transcripts):
+        t, feed_dir = fed_transcripts
+        spec = PatternSpec(
+            steps=(Step("e1", "is_user"), Step("e2", "is_assistant")),
+            within=pd.Timedelta(hours=12),
+        )
+        stream = _flagged(stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA))
+        out = match_pattern_stream(stream, spec, watermark_delay="10 minutes")
+        name = _run_to_memory(out, "nfa_out")
+        got = (
+            spark.sql(f"SELECT * FROM {name}")
+            .filter(F.col("conv_id") != "__sentinel__")
+            .toPandas()
+        )
+        want = match_pattern_batch(_flagged(t), spec).toPandas()
+        pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
+
+
+class TestExactlyOnceSink:
+    def test_idempotent_epoch_replay(self, spark, tmpdir):
+        t = transcripts_df(spark, SF).limit(100)
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        sink.write_batch(t, 0)
+        sink.write_batch(t, 0)  # at-least-once replay of the same epoch
+        sink.write_batch(t, 1)
+        assert sink.committed_epochs() == [0, 1]
+        assert sink.read(spark).count() == 200  # one copy per epoch, no dups
+        m = sink.metrics()
+        assert m["epochs"] == 2 and m["total_rows"] == 200
+        for c in sink.commits():
+            assert c["partitions"] and sum(p["rows"] for p in c["partitions"]) == c["rows"]
+
+    def test_uncommitted_epoch_invisible(self, spark, tmpdir):
+        t = transcripts_df(spark, SF).limit(50)
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        sink.write_batch(t, 0)
+        # crash between data write and commit: data dir exists, no marker
+        t.write.mode("overwrite").parquet(os.path.join(tmpdir, "table/data/epoch=1"))
+        assert sink.read(spark).count() == 50
+
+    def test_streaming_foreach_batch_exactly_once(self, spark, tmpdir, fed_transcripts):
+        t, feed_dir = fed_transcripts
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        n_expected = t.count() + 1  # + sentinel
+        assert sink.read(spark).count() == n_expected
+        assert len(sink.committed_epochs()) >= 2  # multiple micro-batches
+
+
+class TestCheckpointResume:
+    def test_resume_from_checkpoint_no_duplicates(self, spark, tmpdir):
+        t = transcripts_df(spark, SF)
+        feed_dir = os.path.join(tmpdir, "feed")
+        chunks = chunked_feed(t, os.path.join(tmpdir, "staging"), 4, ["ts", "conv_id"])
+        os.makedirs(feed_dir)
+        # phase 1: first two chunks
+        for c in chunks[:2]:
+            shutil.copy(c, feed_dir)
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        ckpt = os.path.join(tmpdir, "ckpt")
+
+        def run():
+            stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+            q = (
+                stream.writeStream.foreachBatch(sink.foreach_batch())
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run()
+        n_phase1 = sink.read(spark).count()
+        assert n_phase1 > 0
+        # phase 2: restart from the same checkpoint with two more chunks
+        for c in chunks[2:]:
+            shutil.copy(c, feed_dir)
+        run()
+        total = sink.read(spark).count()
+        assert total == t.count()  # every row exactly once across restarts
