@@ -1,0 +1,149 @@
+"""Benchmark driver (contract: print ONE JSON line).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the north-star transcript CEP pipeline
+(pattern match + session-window agg) over a generated multi-million-turn
+stream, reporting per-query wall seconds and CEP throughput (turns/sec).
+
+Scaling evidence (BASELINE.json north_rule: N → 4N efficiency ≥ 0.8) is
+produced by ``tools/bench_scaling.py``, which invokes this file at two
+parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from eventflux_engine_spark.cep import PatternSpec, Step, match_pattern_batch  # noqa: E402
+from eventflux_engine_spark.datamodel import synth_transcripts  # noqa: E402
+from eventflux_engine_spark.plans import QUERIES  # noqa: E402
+from eventflux_engine_spark.session import default_parallelism, get_spark  # noqa: E402
+
+HEADLINE = [
+    "tumbling_turn_counts",
+    "sliding_window_agg",
+    "session_window_agg",
+    "length_window_avg",
+    "sort_window_topk",
+    "enrichment_cost_rollup",
+    "stream_stream_join",
+    "group_agg_all",
+    "salted_group_agg",
+    "pattern_user_assistant",
+    "pattern_user_tool_assistant",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "text_quality_scores",
+]
+
+CEP_TURNS = int(os.environ.get("SPARK_GRAFT_CEP_TURNS", "2000000"))
+
+
+def cep_pipeline_rows(spark, n_turns: int, hot_conv_pct: int = 0) -> int:
+    """North-star pipeline: flags → pattern NFA + session agg + tumbling agg
+    over a generated transcript stream; returns total output rows."""
+    cores = default_parallelism()
+    t = synth_transcripts(
+        spark, n_turns, n_convs=max(n_turns // 200, 64), hot_conv_pct=hot_conv_pct,
+        partitions=cores * 4,
+    ).persist()  # the three pipeline branches share one materialized input
+    flagged = (
+        t.withColumn("is_user", F.col("role") == "user")
+        .withColumn("is_assistant", F.col("role") == "assistant")
+    )
+    spec = PatternSpec(
+        steps=(Step("e1", "is_user"), Step("e2", "is_assistant")),
+        within=pd.Timedelta(minutes=30),
+    )
+    matches = match_pattern_batch(flagged, spec)
+    sessions = (
+        t.groupBy(F.session_window(F.col("ts").cast("timestamp"), "30 minutes"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    tumbling = (
+        t.groupBy(F.window(F.col("ts").cast("timestamp"), "5 minutes"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.count(F.when(F.col("tool") != "", 1)).alias("tool_calls"),
+        )
+    )
+    try:
+        return matches.count() + sessions.count() + tumbling.count()
+    finally:
+        t.unpersist()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = default_parallelism()
+    spark = get_spark(app_name="bench")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    # warm-up: JVM codegen + python worker pool + shuffle paths, untimed
+    QUERIES["tumbling_turn_counts"].fn(spark, sf_dir).count()
+    cep_pipeline_rows(spark, 50_000)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cep_pipeline_rows(spark, CEP_TURNS)
+    cep_s = time.time() - t0
+    timings["cep_pipeline_synth"] = round(cep_s, 3)
+
+    # fused single-pass pipeline over bucketed input (the 100TB plan):
+    # pattern + sessions + tumbling counts, zero shuffle
+    from eventflux_engine_spark.cep.fused import fused_transcript_pipeline
+    from eventflux_engine_spark.datamodel import synth_transcripts_bucketed
+
+    spec = PatternSpec(
+        steps=(Step("e1", "is_user"), Step("e2", "is_assistant")),
+        within=pd.Timedelta(minutes=30),
+    )
+    tb = synth_transcripts_bucketed(spark, CEP_TURNS, 200, partitions=cores * 4)
+    tb = tb.withColumn("is_user", F.col("role") == "user").withColumn(
+        "is_assistant", F.col("role") == "assistant"
+    )
+    fused_transcript_pipeline(tb, spec).groupBy().count().collect()  # warm
+    tb2 = synth_transcripts_bucketed(spark, CEP_TURNS + 200, 200, partitions=cores * 4)
+    tb2 = tb2.withColumn("is_user", F.col("role") == "user").withColumn(
+        "is_assistant", F.col("role") == "assistant"
+    )
+    t0 = time.time()
+    fused_transcript_pipeline(tb2, spec).groupBy().count().collect()
+    fused_s = time.time() - t0
+    timings["cep_fused_bucketed"] = round(fused_s, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": cores,
+                "cep_turns_per_sec": round(CEP_TURNS / cep_s, 1),
+                "cep_fused_turns_per_sec": round(CEP_TURNS / fused_s, 1),
+                "cep_synth_turns": CEP_TURNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .nfa import match_linear_vectorized, run_nfa
+from .nfa import match_linear_block, run_nfa
 from .spec import PatternSpec
 
 
@@ -31,31 +31,90 @@ def output_schema(spec: PatternSpec, input_schema: T.StructType) -> T.StructType
     return T.StructType(fields)
 
 
-def match_pattern_batch(df: DataFrame, spec: PatternSpec) -> DataFrame:
-    """Run the pattern over a bounded DataFrame.
-
-    Input must already carry the boolean ``flag_col`` per step (evaluate
-    predicates as Catalyst expressions first — only the inherently
-    sequential NFA runs in pandas).
-    """
-    schema = output_schema(spec, df.schema)
-    col_order = [f.name for f in schema.fields]
-
-    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        if spec.is_linear:
-            out = match_linear_vectorized(pdf, spec)
-        else:
-            rows, _, _ = run_nfa(pdf, spec)
-            out = pd.DataFrame(rows)
-        if out.empty:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in col_order})
-        return out[col_order]
-
+def _pruned(df: DataFrame, spec: PatternSpec) -> DataFrame:
     needed = {spec.key_col, "turn_idx", spec.ts_col}
     needed.update(s.flag_col for s in spec.steps)
     for s in spec.steps:
         needed.update(s.emit)
     needed.update(spec.order_cols)
-    pruned = df.select(*sorted(needed))  # column pruning before the shuffle
+    return df.select(*sorted(needed))  # column pruning before the shuffle
 
-    return pruned.groupBy(spec.key_col).applyInPandas(apply, schema=schema)
+
+def match_pattern_batch(
+    df: DataFrame, spec: PatternSpec, input_sorted: bool = False
+) -> DataFrame:
+    """Run the pattern over a bounded DataFrame.
+
+    Input must already carry the boolean ``flag_col`` per step (evaluate
+    predicates as Catalyst expressions first — only the inherently
+    sequential NFA runs in pandas).
+
+    Physical strategy:
+    - **linear specs** (no quantifiers/cross-preds, EVERY): one
+      ``repartition(key)`` + in-partition sort, then a whole-partition numpy
+      pass (``match_linear_block``) via ``mapInPandas`` — per-group pandas
+      overhead is eliminated, throughput is bounded by the exchange.
+      Arrow slices partitions into batches, so a carry buffer keeps the last
+      (possibly split) conversation of each batch for the next one.
+    - **general specs**: per-key ``applyInPandas`` through the sequential
+      transition core.
+
+    ``input_sorted=True`` declares the bucketed-storage contract: the input
+    is already partitioned by ``key_col`` with key integrity (every key's
+    rows inside one partition — e.g. an Iceberg ``bucket(conv_id)`` table)
+    and sorted by ``(key, order_cols)`` within partitions. The exchange and
+    sort are skipped entirely — the zero-shuffle plan a 100 TB deployment
+    runs. Linear specs only.
+    """
+    schema = output_schema(spec, df.schema)
+    col_order = [f.name for f in schema.fields]
+    pruned = _pruned(df, spec)
+    key_col = spec.key_col
+
+    if spec.is_linear:
+
+        def apply_partition(pdfs) -> "pd.DataFrame":
+            def flush(block: pd.DataFrame):
+                out = match_linear_block(block, spec)
+                if not out.empty:
+                    return out[col_order]
+                return None
+
+            carry: pd.DataFrame | None = None
+            for pdf in pdfs:
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                if len(pdf) == 0:
+                    continue
+                keys = pdf[key_col].to_numpy()
+                last_key = keys[-1]
+                boundary = int((keys != last_key).nonzero()[0].max() + 1) if (keys != last_key).any() else 0
+                head, carry = pdf.iloc[:boundary], pdf.iloc[boundary:]
+                if len(head):
+                    out = flush(head)
+                    if out is not None:
+                        yield out
+            if carry is not None and len(carry):
+                out = flush(carry)
+                if out is not None:
+                    yield out
+
+        if input_sorted:
+            arranged = pruned  # bucketed + sorted storage: zero-shuffle plan
+        else:
+            arranged = pruned.repartition(key_col).sortWithinPartitions(
+                key_col, *spec.order_cols
+            )
+        return arranged.mapInPandas(apply_partition, schema=schema)
+
+    if input_sorted:
+        raise ValueError("input_sorted requires a linear pattern spec")
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows, _, _ = run_nfa(pdf, spec)
+        out = pd.DataFrame(rows)
+        if out.empty:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in col_order})
+        return out[col_order]
+
+    return pruned.groupBy(key_col).applyInPandas(apply, schema=schema)

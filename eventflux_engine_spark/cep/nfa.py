@@ -154,6 +154,57 @@ def run_nfa(
     return out, instances, matched_done
 
 
+def match_linear_block(pdf: pd.DataFrame, spec: PatternSpec) -> pd.DataFrame:
+    """Vectorized linear matcher over a MULTI-KEY block sorted by
+    ``(key, ts, turn_idx)``.
+
+    Same chained-``searchsorted`` idea as :func:`match_linear_vectorized`,
+    but one numpy pass covers every conversation in the block: a step-k+1
+    candidate found past the conversation boundary lands in a different key
+    and is discarded by the key-equality mask. This removes the per-group
+    pandas overhead of grouped ``applyInPandas`` (the block is a whole task
+    partition), which dominates at millions of small conversations.
+    """
+    assert spec.is_linear
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame()
+    keys = pdf[spec.key_col].to_numpy()
+    ts_ns = pd.to_datetime(pdf[spec.ts_col]).astype("int64").to_numpy()
+    positions = [np.flatnonzero(pdf[s.flag_col].to_numpy()) for s in spec.steps]
+    if any(len(p) == 0 for p in positions):
+        return pd.DataFrame()
+
+    cur = positions[0]
+    chain = [cur]
+    alive = np.ones(len(cur), dtype=bool)
+    prev = cur
+    for pos in positions[1:]:
+        nxt_idx = np.searchsorted(pos, prev, side="right")
+        ok = nxt_idx < len(pos)
+        nxt = np.where(ok, pos[np.minimum(nxt_idx, len(pos) - 1)], -1)
+        alive &= ok
+        # the "first event after prev" must be in the same conversation
+        safe = np.maximum(nxt, 0)
+        alive &= keys[safe] == keys[chain[0]]
+        chain.append(nxt)
+        prev = np.where(alive, nxt, n)
+
+    if spec.within is not None and len(chain) > 1:
+        final = np.maximum(chain[-1], 0)
+        alive &= (ts_ns[final] - ts_ns[chain[0]]) <= int(spec.within.value)
+
+    sel0 = chain[0][alive]
+    rows: dict[str, Any] = {"conv_id": keys[sel0]}
+    for i, s in enumerate(spec.steps):
+        sel = chain[i][alive]
+        rows[f"{s.name}_turn_idx"] = pdf["turn_idx"].to_numpy()[sel]
+        rows[f"{s.name}_ts"] = pdf[spec.ts_col].to_numpy()[sel]
+        for c in s.emit:
+            rows[f"{s.name}_{c}"] = pdf[c].to_numpy()[sel]
+    return pd.DataFrame(rows)
+
+
 def match_linear_vectorized(pdf: pd.DataFrame, spec: PatternSpec) -> pd.DataFrame:
     """Vectorized fast path for linear EVERY patterns (no quantifiers, no
     cross predicates, pattern mode): chain ``searchsorted`` lookups — each

@@ -197,6 +197,117 @@ def with_transcript_views(sql: str) -> str:
     return f"WITH {TRANSCRIPTS_CTE.strip()}, {TOOLS_DIM_CTE}{body}"
 
 
+def synth_transcripts(
+    spark: SparkSession,
+    n_turns: int,
+    n_convs: int,
+    hot_conv_pct: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic transcript stream for throughput benchmarks
+    (FIXTURES.md F1 'bench' scale — ≥10^6 turns; no external data).
+
+    Pure expression pipeline over ``spark.range`` — no shuffle, no window, so
+    generation parallelizes linearly and never bottlenecks the benchmark.
+    Round-robin conv assignment keeps per-conv ts monotone by construction;
+    ``hot_conv_pct`` routes that percentage of rows to conv000000 to create a
+    skewed (hot-key) variant for skew tests.
+    """
+    rng = spark.range(0, n_turns, numPartitions=partitions)
+    conv_idx = F.col("id") % n_convs
+    if hot_conv_pct:
+        conv_idx = F.when(
+            F.pmod(F.hash(F.col("id") * 7 + 13), 100) < hot_conv_pct, F.lit(0)
+        ).otherwise(conv_idx)
+    turn_idx = (F.col("id") / n_convs).cast("int")
+    r = F.pmod(F.hash(conv_idx.cast("string"), turn_idx), 10)
+    role = (
+        F.when(r < 4, "user")
+        .when(r < 7, "assistant")
+        .when(r < 9, "tool")
+        .otherwise("system")
+    )
+    tool = F.when(r == 7, "search").when(r == 8, "exec").otherwise("")
+    gap_s = 60 + F.pmod(F.hash(conv_idx.cast("string")), 120)
+    jitter_s = F.pmod(F.hash(conv_idx.cast("string"), turn_idx, F.lit(1)), 30)
+    ts = F.timestamp_seconds(
+        F.lit(1704067200)  # 2024-01-01 UTC
+        + conv_idx * 3600
+        + turn_idx.cast("bigint") * gap_s
+        + jitter_s
+    ).cast("timestamp_ntz")
+    text = F.concat(
+        role,
+        F.lit(" says token"),
+        F.pmod(F.hash(conv_idx, turn_idx, F.lit(2)), 1000).cast("string"),
+        F.lit(" "),
+        F.repeat(F.lit("lorem ipsum "), F.pmod(F.hash(turn_idx), 8) + 1),
+    )
+    return rng.select(
+        F.concat(F.lit("conv"), F.lpad(conv_idx.cast("string"), 6, "0")).alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+
+
+def synth_transcripts_bucketed(
+    spark: SparkSession,
+    n_turns: int,
+    turns_per_conv: int = 200,
+    partitions: int = 32,
+) -> DataFrame:
+    """Synthetic transcripts emulating the north-star STORAGE layout: an
+    Iceberg table bucketed by ``conv_id`` and sorted by ``(conv_id, ts)``
+    within files — each conversation lives wholly inside one partition,
+    rows arrive conv-contiguous and turn-ordered.
+
+    ``spark.range`` splits ids into contiguous even ranges; with
+    ``rows_per_partition % turns_per_conv == 0`` every partition boundary
+    falls exactly on a conversation boundary, so the bucketed-input contract
+    (key integrity per partition) holds by construction. Downstream keyed
+    operators can then skip the exchange entirely (``input_sorted=True``).
+    """
+    per_part = n_turns // partitions
+    per_part -= per_part % turns_per_conv
+    n_turns = per_part * partitions
+    if n_turns <= 0:
+        raise ValueError("n_turns too small for partitions*turns_per_conv")
+    rng = spark.range(0, n_turns, numPartitions=partitions)
+    conv_idx = (F.col("id") / turns_per_conv).cast("bigint")
+    turn_idx = (F.col("id") % turns_per_conv).cast("int")
+    r = F.pmod(F.hash(conv_idx.cast("string"), turn_idx), 10)
+    role = (
+        F.when(r < 4, "user")
+        .when(r < 7, "assistant")
+        .when(r < 9, "tool")
+        .otherwise("system")
+    )
+    tool = F.when(r == 7, "search").when(r == 8, "exec").otherwise("")
+    gap_s = 60 + F.pmod(F.hash(conv_idx.cast("string")), 120)
+    jitter_s = F.pmod(F.hash(conv_idx.cast("string"), turn_idx, F.lit(1)), 30)
+    ts = F.timestamp_seconds(
+        F.lit(1704067200) + turn_idx.cast("bigint") * gap_s + jitter_s
+    ).cast("timestamp_ntz")
+    text = F.concat(
+        role,
+        F.lit(" says token"),
+        F.pmod(F.hash(conv_idx, turn_idx, F.lit(2)), 1000).cast("string"),
+        F.lit(" "),
+        F.repeat(F.lit("lorem ipsum "), F.pmod(F.hash(turn_idx), 8) + 1),
+    )
+    return rng.select(
+        F.concat(F.lit("conv"), F.lpad(conv_idx.cast("string"), 8, "0")).alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+
+
 def epoch_seconds(c):
     """Epoch seconds (double) of a timestamp column, NTZ-safe.
 

@@ -44,8 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # large Arrow batches amortize Python-side per-batch overhead in the
+        # partition-level vectorized NFA (mapInPandas); rows are narrow
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # RAM-backed shuffle dir: local-mode shuffles go through the local
+        # filesystem; on this box the disk thrashes under 32 concurrent
+        # writers. On a real cluster this is NVMe-backed per-executor storage.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     )
