@@ -14,8 +14,69 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .nfa import match_linear_block, run_nfa
+from .nfa import match_absent_block, match_linear_block, run_nfa
 from .spec import PatternSpec
+
+
+def match_absent_batch(
+    df: DataFrame,
+    trigger_flag: str,
+    absent_flag: str,
+    duration,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+    emit_cols: tuple[str, ...] = ("turn_idx",),
+    input_sorted: bool = False,
+) -> DataFrame:
+    """Absent pattern over a bounded DataFrame: each ``trigger_flag`` event
+    with no ``absent_flag`` event of its key within ``duration`` after it.
+
+    ≙ reference ``NOT A FOR d`` (design-only there —
+    ``PATTERN_PROCESSING.md:34-38``; we implement it). Same physical shape
+    as the linear matcher: one exchange (or none under the bucketed-input
+    contract) + vectorized per-partition probes.
+    """
+    duration_ns = int(pd.Timedelta(duration).value)
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    fields = [T.StructField("conv_id", by_name[key_col])]
+    fields += [T.StructField(c, by_name[c]) for c in emit_cols]
+    fields.append(T.StructField("ts", by_name[ts_col]))
+    schema = T.StructType(fields)
+    col_order = [f.name for f in schema.fields]
+
+    needed = sorted({key_col, ts_col, trigger_flag, absent_flag, *order_cols, *emit_cols})
+    pruned = df.select(*needed)
+    if not input_sorted:
+        pruned = pruned.repartition(key_col).sortWithinPartitions(key_col, *order_cols)
+
+    def run(pdfs):
+        carry: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key_col].to_numpy()
+            nz = (keys != keys[-1]).nonzero()[0]
+            boundary = int(nz.max() + 1) if len(nz) else 0
+            head, carry = pdf.iloc[:boundary], pdf.iloc[boundary:]
+            if len(head):
+                out = match_absent_block(
+                    head, key_col, ts_col, trigger_flag, absent_flag,
+                    duration_ns, emit_cols,
+                )
+                if len(out):
+                    yield out[col_order]
+        if carry is not None and len(carry):
+            out = match_absent_block(
+                carry, key_col, ts_col, trigger_flag, absent_flag,
+                duration_ns, emit_cols,
+            )
+            if len(out):
+                yield out[col_order]
+
+    return pruned.mapInPandas(run, schema=schema)
 
 
 def output_schema(spec: PatternSpec, input_schema: T.StructType) -> T.StructType:
@@ -34,6 +95,7 @@ def output_schema(spec: PatternSpec, input_schema: T.StructType) -> T.StructType
 def _pruned(df: DataFrame, spec: PatternSpec) -> DataFrame:
     needed = {spec.key_col, "turn_idx", spec.ts_col}
     needed.update(s.flag_col for s in spec.steps)
+    needed.update(s.flag_col2 for s in spec.steps if s.flag_col2)
     for s in spec.steps:
         needed.update(s.emit)
     needed.update(spec.order_cols)

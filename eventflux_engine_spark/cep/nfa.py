@@ -44,6 +44,15 @@ def _event_fields(spec: PatternSpec) -> list[str]:
     return sorted(fields)
 
 
+def _effective_flags(pdf: pd.DataFrame, step: Step) -> np.ndarray:
+    """Step match mask; OR steps match on either side
+    (logical_pre_state_processor.rs OR semantics)."""
+    f = pdf[step.flag_col].to_numpy()
+    if step.logic == "or":
+        return f | pdf[step.flag_col2].to_numpy()
+    return f
+
+
 def _emit_row(spec: PatternSpec, key: Any, matched: list[list[dict]]) -> dict:
     row: dict[str, Any] = {"conv_id": key}
     for i, s in enumerate(spec.steps):
@@ -69,7 +78,10 @@ def run_nfa(
     Returns (emitted match rows, surviving instances, matched_done flag).
     ``instances`` carries partial matches across micro-batches (streaming).
     """
-    instances = list(instances or [])
+    instances = [
+        {**inst, "and_state": inst.get("and_state", [None, None])}
+        for inst in (instances or [])
+    ]
     out: list[dict] = []
     if pdf.empty and not instances:
         return out, instances, matched_done
@@ -80,7 +92,11 @@ def run_nfa(
     ts_ns = pd.to_datetime(pdf[spec.ts_col]).astype("int64").to_numpy()
     field_arrays = {f: pdf[f].to_numpy() for f in fields}
     field_arrays[spec.ts_col] = ts_ns  # keep ts as int ns inside event dicts
-    flag_arrays = [pdf[s.flag_col].to_numpy() for s in spec.steps]
+    flag_arrays = [_effective_flags(pdf, s) for s in spec.steps]
+    side2_arrays = [
+        pdf[s.flag_col2].to_numpy() if s.logic == "and" else None
+        for s in spec.steps
+    ]
     within_ns = int(spec.within.value) if spec.within is not None else None
     n_steps = len(spec.steps)
 
@@ -95,6 +111,37 @@ def run_nfa(
         nonlocal matched_done
         step_idx = inst["step"]
         step: Step = spec.steps[step_idx]
+        if step.logic == "and":
+            # AND position: one event fills at most one side; advance when
+            # both sides are filled (any order) —
+            # logical_pre_state_processor.rs:71
+            got = inst["and_state"]
+            m1 = bool(flag_arrays[step_idx][row])
+            m2 = bool(side2_arrays[step_idx][row])
+            filled = False
+            if m1 and got[0] is None:
+                got[0] = ev
+                filled = True
+            elif m2 and got[1] is None:
+                got[1] = ev
+                filled = True
+            if not filled:
+                if spec.mode == "sequence" and not (m1 or m2):
+                    return []
+                return [inst]
+            if got[0] is not None and got[1] is not None:
+                # fill order, completing event last (it is the step's
+                # "last matched" for emit and ordering purposes)
+                other = got[0] if got[1] is ev else got[1]
+                inst["matched"][step_idx] = [other, ev]
+                inst["and_state"] = [None, None]
+                inst["step"] = step_idx + 1
+                inst["count"] = 0
+                if inst["step"] == n_steps:
+                    out.append(_emit_row(spec, key, inst["matched"]))
+                    matched_done = True
+                    return []
+            return [inst]
         matches = bool(flag_arrays[step_idx][row])
         if matches and step.cross_pred is not None:
             matches = bool(step.cross_pred(ev, {
@@ -118,6 +165,7 @@ def run_nfa(
                 "count": inst["count"],
                 "first_ts": inst["first_ts"],
                 "matched": list(inst["matched"]),
+                "and_state": [None, None],
             }
             fwd["step"] = step_idx + 1
             fwd["count"] = 0
@@ -128,6 +176,15 @@ def run_nfa(
                 survivors.append(fwd)
         return survivors
 
+    def any_flag(row: int) -> bool:
+        if any(fa[row] for fa in flag_arrays):
+            return True
+        return any(sa is not None and sa[row] for sa in side2_arrays)
+
+    step0_arm = flag_arrays[0]
+    if side2_arrays[0] is not None:  # AND first step: either side arms
+        step0_arm = flag_arrays[0] | side2_arrays[0]
+
     for row in range(len(pdf)):
         t = int(ts_ns[row])  # python int: instances must stay JSON-serializable
         # 1) reactive expiry of partials past their WITHIN deadline
@@ -136,18 +193,19 @@ def run_nfa(
                 inst for inst in instances if t - inst["first_ts"] <= within_ns
             ]
         # 2) advance instances created by earlier events (promote-then-match)
-        ev = event_dict(row) if any(fa[row] for fa in flag_arrays) else None
+        ev = event_dict(row) if any_flag(row) else None
         nxt: list[dict] = []
         for inst in instances:
             nxt.extend(try_advance(inst, row, ev))
         instances = nxt
         # 3) possibly start a new instance at step 0
-        if flag_arrays[0][row] and (spec.every or (not matched_done and not instances)):
+        if step0_arm[row] and (spec.every or (not matched_done and not instances)):
             fresh = {
                 "step": 0,
                 "count": 0,
                 "first_ts": t,
                 "matched": [[] for _ in range(n_steps)],
+                "and_state": [None, None],
             }
             instances.extend(try_advance(fresh, row, ev))
 
@@ -171,7 +229,7 @@ def match_linear_block(pdf: pd.DataFrame, spec: PatternSpec) -> pd.DataFrame:
         return pd.DataFrame()
     keys = pdf[spec.key_col].to_numpy()
     ts_ns = pd.to_datetime(pdf[spec.ts_col]).astype("int64").to_numpy()
-    positions = [np.flatnonzero(pdf[s.flag_col].to_numpy()) for s in spec.steps]
+    positions = [np.flatnonzero(_effective_flags(pdf, s)) for s in spec.steps]
     if any(len(p) == 0 for p in positions):
         return pd.DataFrame()
 
@@ -205,6 +263,49 @@ def match_linear_block(pdf: pd.DataFrame, spec: PatternSpec) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def match_absent_block(
+    pdf: pd.DataFrame,
+    key_col: str,
+    ts_col: str,
+    trigger_flag: str,
+    absent_flag: str,
+    duration_ns: int,
+    emit_cols: tuple[str, ...] = ("turn_idx",),
+) -> pd.DataFrame:
+    """Absent pattern ``trigger -> NOT absent FOR d``: emit each trigger
+    event with NO absent-flagged event of the same key in
+    ``(trigger.ts, trigger.ts + d]``.
+
+    The reference specs this but never implemented it (needs its TimerWheel
+    — ``PATTERN_PROCESSING.md:34-38``); here it is one vectorized
+    searchsorted probe over a ``(key, ts)``-sorted block. Input contract ==
+    :func:`match_linear_block`.
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame()
+    keys = pdf[key_col].to_numpy()
+    ts_ns = pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy()
+    trig = np.flatnonzero(pdf[trigger_flag].to_numpy())
+    if len(trig) == 0:
+        return pd.DataFrame()
+    absent = np.flatnonzero(pdf[absent_flag].to_numpy())
+    if len(absent) == 0:
+        violated = np.zeros(len(trig), dtype=bool)
+    else:
+        nxt_idx = np.searchsorted(absent, trig, side="right")
+        have = nxt_idx < len(absent)
+        nxt = absent[np.minimum(nxt_idx, len(absent) - 1)]
+        same_key = keys[nxt] == keys[trig]
+        in_window = ts_ns[nxt] - ts_ns[trig] <= duration_ns
+        violated = have & same_key & in_window
+    sel = trig[~violated]
+    rows = {"conv_id": keys[sel]}
+    for c in emit_cols:
+        rows[c] = pdf[c].to_numpy()[sel]
+    rows["ts"] = pdf[ts_col].to_numpy()[sel]
+    return pd.DataFrame(rows)
+
+
 def match_linear_vectorized(pdf: pd.DataFrame, spec: PatternSpec) -> pd.DataFrame:
     """Vectorized fast path for linear EVERY patterns (no quantifiers, no
     cross predicates, pattern mode): chain ``searchsorted`` lookups — each
@@ -217,7 +318,7 @@ def match_linear_vectorized(pdf: pd.DataFrame, spec: PatternSpec) -> pd.DataFram
     pdf = pdf.sort_values(list(spec.order_cols), kind="mergesort").reset_index(drop=True)
     key = pdf[spec.key_col].iloc[0] if len(pdf) else None
     ts_ns = pd.to_datetime(pdf[spec.ts_col]).astype("int64").to_numpy()
-    positions = [np.flatnonzero(pdf[s.flag_col].to_numpy()) for s in spec.steps]
+    positions = [np.flatnonzero(_effective_flags(pdf, s)) for s in spec.steps]
     if any(len(p) == 0 for p in positions):
         return pd.DataFrame()
 

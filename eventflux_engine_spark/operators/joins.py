@@ -66,6 +66,15 @@ def stream_stream_join(
     return left.join(right, cond, how)
 
 
-def in_table(stream: DataFrame, table: DataFrame, on: str | list[str]) -> DataFrame:
-    """``WHERE x IN <table>`` membership predicate as a left-semi join."""
-    return stream.join(table, on=on, how="left_semi")
+def in_table(
+    stream: DataFrame, table: DataFrame, on: str | list[str], broadcast_table: bool = True
+) -> DataFrame:
+    """``WHERE x IN <table>`` membership predicate as a left-semi join.
+
+    The membership table broadcasts by default (reference tables are small
+    keyed relations probed per event — ``in_expression_executor.rs:14``);
+    in-memory dims built via ``createDataFrame`` carry no stats, so Catalyst
+    would otherwise fall back to a sort-merge semi join.
+    """
+    t = F.broadcast(table) if broadcast_table else table
+    return stream.join(t, on=on, how="left_semi")

@@ -1,0 +1,343 @@
+"""Registry part 3: extended operator coverage — outer joins, running
+aggregates, multi-resolution rollups, set ops, heavy hitters, absent/logical
+patterns, multimodal assets."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import multimodal as MM
+from ..cep import PatternSpec, Step, match_pattern_batch
+from ..cep.batch import match_absent_batch
+from ..datamodel import epoch_seconds, load_table, transcripts_df, with_transcript_views
+from ..operators import output as OUT
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# joins: outer variants (join_input_stream.rs:12-19 Left/Right/FullOuter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_outer",
+    with_transcript_views(
+        """
+        SELECT a.conv_id, a.turn_idx AS user_turn,
+               b.turn_idx AS assistant_turn
+        FROM (SELECT * FROM transcripts WHERE role = 'user') a
+        LEFT JOIN (SELECT * FROM transcripts WHERE role = 'assistant') b
+          ON a.conv_id = b.conv_id AND b.ts > a.ts
+         AND epoch(b.ts) - epoch(a.ts) <= 1800
+        """
+    ),
+    doc="LEFT OUTER stream-stream join with null padding for unmatched left "
+    "rows (join_processor.rs:104-112; fixtures use inputs where unmatched "
+    "rows stay unmatched, FIXTURES.md F3)",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    a = t.filter(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("user_turn"), F.col("ts").alias("a_ts")
+    )
+    b = t.filter(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("b_conv"),
+        F.col("turn_idx").alias("assistant_turn"),
+        F.col("ts").alias("b_ts"),
+    )
+    cond = (
+        (a.conv_id == b.b_conv)
+        & (b.b_ts > a.a_ts)
+        & (epoch_seconds(b.b_ts) - epoch_seconds(a.a_ts) <= 1800)
+    )
+    return a.join(b, cond, "left").select("conv_id", "user_turn", "assistant_turn")
+
+
+@register(
+    "join_full_outer",
+    with_transcript_views(
+        """
+        SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+               a.turn_idx AS user_turn, b.turn_idx AS system_turn
+        FROM (SELECT * FROM transcripts WHERE role = 'user' AND turn_idx < 10) a
+        FULL JOIN (SELECT * FROM transcripts WHERE role = 'system' AND turn_idx < 10) b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx - 1
+        """
+    ),
+    doc="FULL OUTER join: both sides null-padded (JoinType::FullOuter, "
+    "join_input_stream.rs:19)",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    a = t.filter((F.col("role") == "user") & (F.col("turn_idx") < 10)).select(
+        F.col("conv_id").alias("a_conv"), F.col("turn_idx").alias("user_turn")
+    )
+    b = t.filter((F.col("role") == "system") & (F.col("turn_idx") < 10)).select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("system_turn")
+    )
+    cond = (a.a_conv == b.b_conv) & (a.user_turn == b.system_turn - 1)
+    return a.join(b, cond, "full").select(
+        F.coalesce("a_conv", "b_conv").alias("conv_id"), "user_turn", "system_turn"
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations: minForever/maxForever, multi-resolution cascade, heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_max_forever",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx,
+               min(length(text)) OVER w AS min_forever,
+               max(length(text)) OVER w AS max_forever
+        FROM transcripts
+        WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                     ROWS UNBOUNDED PRECEDING)
+        """
+    ),
+    doc="minForever/maxForever: never-retracting running extrema per key "
+    "(aggregator/mod.rs:1981,1999) — update-mode running agg in streaming, "
+    "cumulative window in batch",
+)
+def q_min_max_forever(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).withColumn("text_len", F.length("text"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.min("text_len").over(w).alias("min_forever"),
+        F.max("text_len").over(w).alias("max_forever"),
+    )
+
+
+@register(
+    "incremental_agg_cascade",
+    with_transcript_views(
+        """
+        SELECT conv_id,
+               cast(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_start,
+               count(*) AS n, cast(sum(length(text)) AS BIGINT) AS total_len
+        FROM transcripts GROUP BY 1, 2
+        """
+    ),
+    doc="incremental multi-resolution aggregation (AGGREGATE EVERY sec..year,"
+    " incremental_executor.rs:14-48): minute->hour->day rollup cascade; the "
+    "day level must equal a direct day aggregation (algebraic re-aggregation"
+    " proof). Each level re-aggregates the previous — at scale only the "
+    "finest level reads raw data.",
+)
+def q_incremental_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir).withColumn("text_len", F.length("text"))
+    epoch = F.floor(epoch_seconds("ts")).cast("bigint")
+    minute = t.groupBy(
+        "conv_id", (F.floor(epoch / 60) * 60).alias("minute_start")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("text_len").alias("total_len"))
+    hour = minute.groupBy(
+        "conv_id", (F.floor(F.col("minute_start") / 3600) * 3600).alias("hour_start")
+    ).agg(F.sum("n").alias("n"), F.sum("total_len").alias("total_len"))
+    day = hour.groupBy(
+        "conv_id",
+        (F.floor(F.col("hour_start") / 86400) * 86400).cast("bigint").alias("day_start"),
+    ).agg(F.sum("n").alias("n"), F.sum("total_len").cast("bigint").alias("total_len"))
+    return day
+
+
+@register(
+    "heavy_hitters",
+    with_transcript_views(
+        """
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM transcripts)
+        WHERE word <> ''
+        GROUP BY word HAVING count(*) >= 500
+        """
+    ),
+    doc="frequent-element query (≙ lossyCounting window, window/mod.rs:1654):"
+    " exact heavy hitters with threshold; the approximate lossy-counting "
+    "operator (operators) is pytest-verified to return a superset",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    words = t.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).filter(
+        F.col("freq") >= 500
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops / output control
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_streams",
+    with_transcript_views(
+        """
+        SELECT conv_id, src, count(*) AS n FROM (
+          SELECT conv_id, 'a' AS src FROM transcripts WHERE role = 'user'
+          UNION ALL
+          SELECT conv_id, 'b' AS src FROM transcripts WHERE role = 'assistant'
+        ) GROUP BY 1, 2
+        """
+    ),
+    doc="stream union (junction fan-in: multiple INSERT INTO the same stream,"
+    " stream_junction.rs:311) — unionByName",
+)
+def q_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    a = t.filter(F.col("role") == "user").select("conv_id", F.lit("a").alias("src"))
+    b = t.filter(F.col("role") == "assistant").select(
+        "conv_id", F.lit("b").alias("src")
+    )
+    return a.unionByName(b).groupBy("conv_id", "src").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "distinct_roles",
+    with_transcript_views(
+        "SELECT DISTINCT conv_id, role FROM transcripts"
+    ),
+    doc="SELECT DISTINCT — not implemented in the reference "
+    "(GRAMMAR.md:328-338); free in Spark",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_df(spark, sf_dir).select("conv_id", "role").distinct()
+
+
+@register(
+    "output_last_every",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx FROM (
+          SELECT conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+          FROM transcripts
+        ) WHERE rn % 5 = 0
+        """
+    ),
+    doc="OUTPUT LAST EVERY 5 EVENTS rate limiting (ratelimit/*.rs)",
+)
+def q_output_last_every(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return OUT.output_last_every(t, 5, ["conv_id"], ["ts", "turn_idx"]).select(
+        "conv_id", "turn_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CEP: logical OR step, absent pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pattern_logical_or",
+    with_transcript_views(
+        """
+        SELECT u.conv_id, u.turn_idx AS e1_turn_idx, x.turn_idx AS e2_turn_idx
+        FROM transcripts u JOIN transcripts x
+          ON x.conv_id = u.conv_id AND x.role IN ('tool', 'system')
+         AND x.ts > u.ts AND epoch(x.ts) - epoch(u.ts) <= 43200
+        WHERE u.role = 'user'
+        QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                   ORDER BY x.ts, x.turn_idx) = 1
+        """
+    ),
+    doc="CEP logical OR position: EVERY user -> (tool OR system) WITHIN 12h "
+    "(logical_pre_state_processor.rs:71)",
+)
+def q_pattern_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        transcripts_df(spark, sf_dir)
+        .withColumn("is_user", F.col("role") == "user")
+        .withColumn("is_tool", F.col("role") == "tool")
+        .withColumn("is_system", F.col("role") == "system")
+    )
+    spec = PatternSpec(
+        steps=(
+            Step("e1", "is_user"),
+            Step("e2", "is_tool", logic="or", flag_col2="is_system"),
+        ),
+        within=pd.Timedelta(hours=12),
+    )
+    return match_pattern_batch(t, spec).select(
+        "conv_id", "e1_turn_idx", "e2_turn_idx"
+    )
+
+
+@register(
+    "pattern_absent",
+    with_transcript_views(
+        """
+        SELECT u.conv_id, u.turn_idx,
+               cast(floor(epoch(u.ts)) AS BIGINT) AS trig_epoch
+        FROM transcripts u
+        WHERE u.role = 'user' AND NOT EXISTS (
+          SELECT 1 FROM transcripts a
+          WHERE a.conv_id = u.conv_id AND a.role = 'assistant'
+            AND a.ts > u.ts AND epoch(a.ts) - epoch(u.ts) <= 21600
+        )
+        """
+    ),
+    doc="absent pattern: user turn with NO assistant reply within 6h "
+    "(NOT A FOR d — design-only in the reference, "
+    "PATTERN_PROCESSING.md:34-38; we implement it vectorized)",
+)
+def q_pattern_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        transcripts_df(spark, sf_dir)
+        .withColumn("is_user", F.col("role") == "user")
+        .withColumn("is_assistant", F.col("role") == "assistant")
+    )
+    out = match_absent_batch(
+        t, "is_user", "is_assistant", "6 hours", emit_cols=("turn_idx",)
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.floor(epoch_seconds("ts")).cast("bigint").alias("trig_epoch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta_stats",
+    f"""
+    WITH {MM.ASSETS_CTE.strip()}
+    SELECT kind, count(*) AS n_assets,
+           cast(sum(octet_length(encode(payload_str))) AS BIGINT) AS total_bytes,
+           count(DISTINCT md5(payload_str)) AS distinct_payloads,
+           round(avg(width), 4) AS avg_width,
+           max(duration_ms) AS max_duration_ms
+    FROM assets GROUP BY kind
+    """,
+    doc="multimodal asset table: opaque binary payload + typed metadata; "
+    "stats computed WITHOUT decoding (meta pushdown, payload pruned unless "
+    "bytes needed). Decode/resize/frame-sample are mapInPandas operators "
+    "with stubbed codecs (multimodal.py).",
+)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = MM.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    return assets.groupBy(F.col("meta.kind").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        F.count_distinct(F.md5("payload")).alias("distinct_payloads"),
+        F.round(F.avg("meta.width"), 4).alias("avg_width"),
+        F.max("meta.duration_ms").alias("max_duration_ms"),
+    )

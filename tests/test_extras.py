@@ -1,0 +1,142 @@
+"""Tests: logical AND steps, absent patterns, lossy counting, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from eventflux_engine_spark.cep import PatternSpec, Step
+from eventflux_engine_spark.cep.nfa import match_absent_block, run_nfa
+from eventflux_engine_spark.datamodel import transcripts_df
+from eventflux_engine_spark.multimodal import assets_from_documents, extract_features
+from eventflux_engine_spark.operators.approx import lossy_counting_heavy_hitters
+
+SF = "/root/testdata/sf0.001"
+
+
+def mk(roles, gap_s=60, conv="c1"):
+    base = pd.Timestamp("2024-01-01")
+    return pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": np.arange(len(roles), dtype="int32"),
+            "ts": [base + pd.Timedelta(seconds=gap_s * i) for i in range(len(roles))],
+            "is_a": [r == "A" for r in roles],
+            "is_b": [r == "B" for r in roles],
+            "is_c": [r == "C" for r in roles],
+        }
+    )
+
+
+class TestLogicalAnd:
+    SPEC = PatternSpec(
+        steps=(
+            Step("e1", "is_a"),
+            Step("e2", "is_b", logic="and", flag_col2="is_c"),
+        )
+    )
+
+    def test_and_any_order(self):
+        # B then C, or C then B — both complete the AND position
+        # (logical_pre_state_processor.rs); completion event is the second
+        rows, _, _ = run_nfa(mk(["A", "B", "C"]), self.SPEC)
+        assert [(r["e1_turn_idx"], r["e2_turn_idx"]) for r in rows] == [(0, 2)]
+        rows, _, _ = run_nfa(mk(["A", "C", "B"]), self.SPEC)
+        assert [(r["e1_turn_idx"], r["e2_turn_idx"]) for r in rows] == [(0, 2)]
+
+    def test_and_incomplete_no_match(self):
+        rows, _, _ = run_nfa(mk(["A", "B", "B"]), self.SPEC)
+        assert rows == []
+
+    def test_one_event_fills_one_side(self):
+        # an event matching both sides fills only one slot
+        pdf = mk(["A", "B"])
+        pdf["is_c"] = pdf["is_b"]  # B rows match both sides
+        rows, inst, _ = run_nfa(pdf, self.SPEC)
+        assert rows == [] and len(inst) == 1  # needs a second event
+
+    def test_and_as_first_step_either_side_arms(self):
+        spec = PatternSpec(
+            steps=(Step("e1", "is_b", logic="and", flag_col2="is_c"), Step("e2", "is_a"))
+        )
+        rows, _, _ = run_nfa(mk(["C", "B", "A"]), spec)
+        assert [(r["e1_turn_idx"], r["e2_turn_idx"]) for r in rows] == [(1, 2)]
+
+
+class TestAbsent:
+    def test_absent_emits_when_no_follower(self):
+        pdf = mk(["A", "C", "C", "A", "B"], gap_s=60)
+        out = match_absent_block(
+            pdf, "conv_id", "ts", "is_a", "is_b", int(120e9), ("turn_idx",)
+        )
+        # A@0: next B is @4 (240s later, outside 120s) → absent holds
+        # A@3: B@4 is 60s later (inside) → violated
+        assert sorted(out["turn_idx"]) == [0]
+
+    def test_multi_key_block(self):
+        pdf = pd.concat([mk(["A", "B"], conv="c1"), mk(["A", "C"], conv="c2")])
+        pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+        out = match_absent_block(
+            pdf, "conv_id", "ts", "is_a", "is_b", int(3600e9), ("turn_idx",)
+        )
+        # c1's A is answered by B; c2's A has no B (c1's rows must not leak)
+        assert list(out["conv_id"]) == ["c2"]
+
+
+class TestLossyCounting:
+    def test_superset_of_exact_heavy_hitters(self, spark):
+        t = transcripts_df(spark, SF)
+        words = t.select(F.explode(F.split("text", " ")).alias("w")).filter(
+            F.col("w") != ""
+        )
+        n = words.count()
+        support = 0.02
+        exact = {
+            r["w"]
+            for r in words.groupBy("w")
+            .count()
+            .filter(F.col("count") >= support * n)
+            .collect()
+        }
+        approx = {
+            r["item"]
+            for r in lossy_counting_heavy_hitters(words, "w", support).collect()
+        }
+        assert exact <= approx  # no false negatives
+        # and bounded false positives: nothing below (support - eps) * n
+        low = {
+            r["w"]
+            for r in words.groupBy("w")
+            .count()
+            .filter(F.col("count") < (support - support / 10) * n)
+            .collect()
+        }
+        assert not (approx & low)
+
+
+class TestMultimodal:
+    def test_extract_features_stub(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        assets = assets_from_documents(docs)
+        feats = extract_features(assets).toPandas()
+        assert len(feats) == docs.count()
+        assert (feats["decoder"] == "stub").all()
+        assert feats["header_ok"].all()
+        assert (feats["decl_width"] >= 16).all()
+        assert (feats["byte_mean"] > 0).all()
+        # declared dims in the payload header must round-trip meta
+        meta = assets.select(
+            "asset_id", F.col("meta.width").alias("w"), F.col("meta.height").alias("h")
+        ).toPandas()
+        j = feats.merge(meta, left_on="asset_id", right_on="asset_id")
+        assert (j["decl_width"] == j["w"]).all() and (j["decl_height"] == j["h"]).all()
+
+    def test_resize_is_explicitly_stubbed(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        assets = assets_from_documents(docs)
+        from eventflux_engine_spark.multimodal import resize_images
+
+        with pytest.raises(NotImplementedError):
+            resize_images(assets, 64, 64)
