@@ -1,0 +1,343 @@
+"""EventFluxApp — the AppRunner-equivalent runtime for the SQL dialect.
+
+≙ reference lifecycle (SURVEY.md §3.1): ``EventFluxManager::
+create_eventflux_app_runtime_from_string`` + AppRunner test harness
+(``tests/common/mod.rs:31``): parse a multi-statement app, ``send()`` events
+into input streams, collect a target stream's output rows.
+
+Execution model here: each ``send`` stamps a global arrival sequence (the
+analog of the reference's single-threaded arrival order); ``run(target)``
+materializes the dataflow bottom-up — every INSERT INTO query compiles to
+Spark SQL over temp views (standard clauses) or to the keyed-NFA pattern
+matcher (``FROM PATTERN``), with EventFlux window specs mapped to
+``window()``/``session_window()``/length-window formulations.
+
+Deliberate batch-semantics deltas from the push engine (documented, asserted
+in tests): non-windowed GROUP BY yields final aggregates (the reference
+emits per-chunk running updates — Spark's update output mode in streaming);
+windowed aggregates yield one row per closed window.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..cep import PatternSpec, Step, match_pattern_batch
+from .compiler import (
+    PatternDef,
+    QueryDef,
+    StreamDef,
+    parse_create,
+    parse_insert,
+    split_statements,
+)
+
+_AGG_RE = re.compile(
+    r"\b(COUNT|SUM|AVG|MIN|MAX|STDDEV|STDDEV_POP|COUNT_DISTINCT|FIRST|LAST)\s*\(",
+    re.IGNORECASE,
+)
+_EREF_RE = re.compile(r"\b(e\d+)\.(\w+)")
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+class EventFluxApp:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.streams: dict[str, StreamDef] = {}
+        self.queries: list[QueryDef] = []
+        self._rows: dict[str, list[tuple]] = {}
+        self._seq = 0
+
+    # -- DDL / DML registration ------------------------------------------
+
+    def execute(self, sql: str) -> "EventFluxApp":
+        for stmt in split_statements(sql):
+            head = stmt.split(None, 1)[0].upper()
+            if head == "CREATE":
+                d = parse_create(stmt)
+                self.streams[d.name] = d
+                self._rows.setdefault(d.name, [])
+            elif head == "INSERT":
+                q = parse_insert(stmt)
+                self.queries.append(q)
+                if q.target not in self.streams:
+                    # INSERT INTO auto-creates the output stream
+                    # (GRAMMAR.md "Dynamic Output Streams")
+                    self.streams[q.target] = StreamDef(q.target, [])
+                    self._rows.setdefault(q.target, [])
+            else:
+                raise ValueError(f"unsupported statement: {stmt[:60]}")
+        return self
+
+    # -- data ingestion ----------------------------------------------------
+
+    def send(self, stream: str, rows: list[tuple], ts: list[Any] | None = None) -> None:
+        """Append events; arrival order == global send order (the reference
+        stamps wall-clock on arrival, input_handler.rs:65 — we stamp a
+        deterministic 1-second-per-event clock unless ``ts`` is given)."""
+        sd = self.streams[stream]
+        for i, r in enumerate(rows):
+            if len(r) != len(sd.columns):
+                raise ValueError(f"{stream} expects {len(sd.columns)} cols, got {r}")
+            t = ts[i] if ts else _EPOCH + datetime.timedelta(seconds=self._seq)
+            self._rows[stream].append((*r, self._seq, t))
+            self._seq += 1
+
+    # -- evaluation ---------------------------------------------------------
+
+    def _base_df(self, name: str) -> DataFrame:
+        sd = self.streams[name]
+        schema = ", ".join(f"{c} {t}" for c, t in sd.columns)
+        schema = (schema + ", " if schema else "") + "__seq bigint, __ts timestamp"
+        return self.spark.createDataFrame(self._rows[name], schema)
+
+    def stream_df(self, name: str, _stack: frozenset = frozenset()) -> DataFrame:
+        """Materialize a stream: sent rows + every query targeting it."""
+        if name in _stack:
+            raise ValueError(f"cyclic stream dependency through {name}")
+        df = self._base_df(name)
+        for q in self.queries:
+            if q.target == name:
+                out = self._run_query(q, _stack | {name})
+                df = df.unionByName(out) if self.streams[name].columns else out
+        return df
+
+    def run(self, target: str) -> list[tuple]:
+        """Collect the target stream's rows in emission order (AppRunner
+        ``shutdown()`` analog)."""
+        df = self.stream_df(target)
+        cols = [c for c, _ in self.streams[target].columns] or [
+            c for c in df.columns if not c.startswith("__")
+        ]
+        return [tuple(r) for r in df.orderBy("__seq").select(*cols).collect()]
+
+    # -- query compilation ----------------------------------------------------
+
+    def _run_query(self, q: QueryDef, stack: frozenset) -> DataFrame:
+        if q.pattern is not None:
+            return self._run_pattern_query(q, stack)
+        return self._run_select_query(q, stack)
+
+    def _register(self, name: str, stack: frozenset) -> None:
+        self.stream_df(name, stack).createOrReplaceTempView(name)
+
+    def _run_select_query(self, q: QueryDef, stack: frozenset) -> DataFrame:
+        self._register(q.source, stack)
+        for _, s, _ in q.joins:
+            self._register(s, stack)
+
+        is_agg = bool(q.group_by) or any(
+            _AGG_RE.search(e) for e, _ in q.select_items
+        )
+        items = [f"{e} AS {a}" if a else e for e, a in q.select_items]
+
+        src = q.source
+        where = f" WHERE {q.where}" if q.where else ""
+        group = ""
+        if q.window is not None:
+            w = q.window
+            if w.kind == "tumbling":
+                win = f"window(__ts, '{w.params[0]} milliseconds')"
+            elif w.kind == "sliding":
+                win = (
+                    f"window(__ts, '{w.params[0]} milliseconds',"
+                    f" '{w.params[1]} milliseconds')"
+                )
+            elif w.kind == "session":
+                win = f"session_window(__ts, '{w.params[0]} milliseconds')"
+            elif w.kind == "length":
+                n = w.params[0]
+                src = (
+                    f"(SELECT * FROM (SELECT *, row_number() OVER (ORDER BY"
+                    f" __seq DESC) AS __rn FROM {q.source}{where}) WHERE __rn <= {n})"
+                )
+                where = ""
+                win = None
+            else:
+                raise ValueError(
+                    f"WINDOW('{w.kind}') unsupported in the SQL layer — use "
+                    "the DataFrame operators (operators/windows.py)"
+                )
+            if win is not None:
+                if not is_agg:
+                    raise ValueError("time windows require aggregation in SQL layer")
+                group = f" GROUP BY {win}"
+                if q.group_by:
+                    group += f", {q.group_by}"
+        elif q.group_by:
+            group = f" GROUP BY {q.group_by}"
+
+        carry_seq = not is_agg
+        sel = ", ".join(items)
+        if carry_seq:
+            seq_src = f"{q.source}.__seq" if q.joins else "__seq"
+            sel += f", {seq_src} AS __seq, "
+            seq_ts = f"{q.source}.__ts" if q.joins else "__ts"
+            sel += f"{seq_ts} AS __ts"
+
+        join_sql = "".join(
+            f" {how.upper().replace('_', ' ')} JOIN {s} ON {cond}"
+            for how, s, cond in q.joins
+        )
+        sql = f"SELECT {sel} FROM {src}{join_sql}{where}{group}"
+        if q.having:
+            sql += f" HAVING {q.having}"
+        if q.order_by:
+            sql += f" ORDER BY {q.order_by}"
+        if q.limit is not None:
+            sql += f" LIMIT {q.limit}"
+        if q.offset is not None:
+            sql += f" OFFSET {q.offset}"
+        out = self.spark.sql(sql)
+
+        if not carry_seq:
+            # aggregates get fresh emission seqs in deterministic group order
+            out = out.withColumn(
+                "__seq",
+                F.row_number().over(Window.orderBy(*out.columns)) + F.lit(self._seq),
+            ).withColumn("__ts", F.lit(_EPOCH).cast("timestamp"))
+        elif q.order_by:
+            # ORDER BY defines the emission order of the output chunk
+            # (order_by_event_comparator.rs applied at select_processor.rs:531)
+            order_cols = []
+            for item in q.order_by.split(","):
+                item = item.strip()
+                if item.upper().endswith(" DESC"):
+                    order_cols.append(F.expr(item[:-5].strip()).desc())
+                else:
+                    order_cols.append(F.expr(re.sub(r"\s+ASC$", "", item, flags=re.IGNORECASE)))
+            out = out.drop("__seq").withColumn(
+                "__seq", F.row_number().over(Window.orderBy(*order_cols))
+            )
+        if q.output_rate is not None:
+            mode, n = q.output_rate
+            out = out.withColumn(
+                "__rn", F.row_number().over(Window.orderBy("__seq"))
+            )
+            keep = (F.col("__rn") % n == 1) if mode == "FIRST" else (F.col("__rn") % n == 0)
+            out = out.filter(keep).drop("__rn")
+        return out
+
+    # -- pattern queries ---------------------------------------------------
+
+    def _run_pattern_query(self, q: QueryDef, stack: frozenset) -> DataFrame:
+        p: PatternDef = q.pattern
+        stream_names = [s.stream for s in p.steps]
+        all_cols: dict[str, str] = {}
+        for s in dict.fromkeys(stream_names):
+            for c, t in self.streams[s].columns:
+                if c in all_cols and all_cols[c] != t:
+                    raise ValueError(f"column {c} type conflict across pattern streams")
+                all_cols[c] = t
+
+        union = None
+        for s in dict.fromkeys(stream_names):
+            df = self.stream_df(s, stack)
+            proj = [F.lit(s).alias("__src")]
+            for c, t in all_cols.items():
+                proj.append(
+                    (F.col(c) if c in [x for x, _ in self.streams[s].columns]
+                     else F.lit(None).cast(t)).alias(c)
+                )
+            proj += [F.col("__seq"), F.col("__ts")]
+            part = df.select(*proj)
+            union = part if union is None else union.unionByName(part)
+
+        union = (
+            union.withColumn("conv_id", F.lit("__global__"))
+            .withColumn("turn_idx", F.col("__seq").cast("int"))
+            .withColumn("ts", F.col("__ts"))
+        )
+
+        # referenced columns per step alias (for emit fields)
+        referenced: dict[str, set] = {s.alias: set() for s in p.steps}
+        stream_to_alias = {}
+        for s in p.steps:
+            stream_to_alias.setdefault(s.stream, s.alias)
+
+        def map_ref(name: str, col: str) -> tuple[str, str]:
+            if name in referenced:
+                return name, col
+            if name in stream_to_alias:
+                return stream_to_alias[name], col
+            raise ValueError(f"unknown pattern reference {name}.{col}")
+
+        select_plan = []
+        for expr, alias in q.select_items:
+            rm = re.fullmatch(r"(\w+)\.(\w+)", expr.strip())
+            if not rm:
+                raise ValueError(
+                    f"pattern SELECT supports alias.col / Stream.col refs, got {expr!r}"
+                )
+            a, c = map_ref(rm.group(1), rm.group(2))
+            referenced[a].add(c)
+            select_plan.append((a, c, alias or c))
+
+        steps = []
+        for sdef in p.steps:
+            flag = f"__is_{sdef.alias}"
+            cond_expr = F.col("__src") == sdef.stream
+            cross = None
+            if sdef.condition:
+                if _EREF_RE.search(sdef.condition):
+                    cross = _compile_cross_pred(sdef.condition)
+                    for em in _EREF_RE.finditer(sdef.condition):
+                        if em.group(1) != sdef.alias:
+                            referenced[em.group(1)].add(em.group(2))
+                    for bare in re.finditer(r"\b(?<!\.)(\w+)\b", _EREF_RE.sub(" ", sdef.condition)):
+                        if bare.group(1) in all_cols:
+                            referenced[sdef.alias].add(bare.group(1))
+                else:
+                    cond_expr = cond_expr & F.expr(sdef.condition)
+            union = union.withColumn(flag, cond_expr)
+            steps.append((sdef, flag, cross))
+
+        spec = PatternSpec(
+            steps=tuple(
+                Step(
+                    sdef.alias,
+                    flag,
+                    sdef.min_count,
+                    sdef.max_count,
+                    cross_pred=cross,
+                    emit=tuple(sorted(referenced[sdef.alias])),
+                )
+                for sdef, flag, cross in steps
+            ),
+            within=pd.Timedelta(milliseconds=p.within_ms) if p.within_ms else None,
+            every=p.every,
+        )
+        m = match_pattern_batch(union, spec)
+        out_cols = [F.col(f"{a}_{c}").alias(out) for a, c, out in select_plan]
+        last = spec.steps[-1].name
+        return m.select(
+            *out_cols,
+            F.col(f"{last}_turn_idx").cast("bigint").alias("__seq"),
+            F.col(f"{last}_ts").alias("__ts"),
+        )
+
+
+def _compile_cross_pred(condition: str):
+    """Translate an EventFlux step condition with cross-step refs
+    (``e2[price > e1.price]``) into a python predicate over
+    (candidate event dict, matched steps dict)."""
+    expr = condition
+    expr = _EREF_RE.sub(lambda m: f"__m['{m.group(1)}'][-1]['{m.group(2)}']", expr)
+    expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
+    expr = re.sub(r"\bAND\b", "and", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bOR\b", "or", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bNOT\b", "not", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\b(?!and\b|or\b|not\b|__m\b)([a-zA-Z_]\w*)\b(?!\s*\(|')", r"__ev['\1']", expr)
+    expr = expr.replace("__ev['__m']", "__m")
+    code = compile(expr, "<pattern-condition>", "eval")
+
+    def pred(ev: dict, matched: dict) -> bool:
+        return bool(eval(code, {"__builtins__": {}}, {"__ev": ev, "__m": matched}))
+
+    return pred

@@ -1,0 +1,362 @@
+"""EventFlux SQL dialect → engine plans.
+
+Grammar subset (reference ``feat/grammar/GRAMMAR.md``; statement dispatch
+``src/sql_compiler/application.rs:119-213``):
+
+- ``CREATE STREAM Name (col TYPE, ...) [WITH ('k'='v', ...)]``
+- ``CREATE TABLE Name (col TYPE, ...)`` (PRIMARY KEY clause tolerated)
+- ``INSERT INTO Target SELECT ... FROM Src [WINDOW('type', args)]
+  [[LEFT|RIGHT|FULL [OUTER]] JOIN Other ON cond] [WHERE ...] [GROUP BY ...]
+  [HAVING ...] [ORDER BY ...] [LIMIT n [OFFSET m]]
+  [OUTPUT FIRST|LAST EVERY n EVENTS]``
+- ``INSERT INTO Target SELECT ... FROM PATTERN ([EVERY] e1=S1[cond]{m,n}
+  -> e2=S2[cond] ... [WITHIN d unit])`` (``converter.rs:1751``)
+
+Time literals ``<n> MILLISECONDS|SECONDS|MINUTES|HOURS|DAYS|WEEKS`` fold to
+engine durations (``converter.rs:898-905``). Standard expressions pass
+through verbatim to Spark SQL — Catalyst is the analyzer/optimizer, exactly
+the "no hand-rolled expression interpreter" stance of SURVEY §4.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+TYPE_MAP = {
+    "VARCHAR": "string",
+    "STRING": "string",
+    "TEXT": "string",
+    "INT": "int",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "LONG": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "BOOLEAN": "boolean",
+    "BOOL": "boolean",
+    "TIMESTAMP": "timestamp",
+}
+
+_UNIT_MS = {
+    "MILLISECOND": 1,
+    "SECOND": 1000,
+    "MINUTE": 60_000,
+    "HOUR": 3_600_000,
+    "DAY": 86_400_000,
+    "WEEK": 604_800_000,
+}
+
+
+def parse_time_ms(text: str) -> int:
+    m = re.fullmatch(
+        r"\s*(\d+)\s+(MILLISECOND|SECOND|MINUTE|HOUR|DAY|WEEK)S?\s*",
+        text,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"bad time literal: {text!r}")
+    return int(m.group(1)) * _UNIT_MS[m.group(2).upper()]
+
+
+@dataclass
+class StreamDef:
+    name: str
+    columns: list[tuple[str, str]]  # (name, spark type)
+    options: dict[str, str] = field(default_factory=dict)
+    is_table: bool = False
+
+
+@dataclass
+class WindowSpec:
+    kind: str  # tumbling | sliding | session | length | lengthBatch
+    params: list
+
+
+@dataclass
+class PatternStepDef:
+    alias: str
+    stream: str
+    condition: Optional[str] = None
+    min_count: int = 1
+    max_count: int = 1
+
+
+@dataclass
+class PatternDef:
+    steps: list[PatternStepDef]
+    every: bool = False
+    within_ms: Optional[int] = None
+
+
+@dataclass
+class QueryDef:
+    target: str
+    select_items: list[tuple[str, Optional[str]]]  # (expr, alias)
+    source: Optional[str] = None
+    window: Optional[WindowSpec] = None
+    joins: list[tuple[str, str, str]] = field(default_factory=list)  # (how, stream, cond)
+    where: Optional[str] = None
+    group_by: Optional[str] = None
+    having: Optional[str] = None
+    order_by: Optional[str] = None
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+    output_rate: Optional[tuple[str, int]] = None  # (FIRST|LAST, n)
+    pattern: Optional[PatternDef] = None
+
+
+def split_statements(sql: str) -> list[str]:
+    out, depth, buf, in_str = [], 0, [], None
+    for ch in sql:
+        if in_str:
+            buf.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+            continue
+        buf.append(ch)
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    parts, depth, buf, in_str = [], 0, [], None
+    for ch in text:
+        if in_str:
+            buf.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def parse_create(stmt: str) -> StreamDef:
+    m = re.match(
+        r"CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.*)\)\s*(WITH\s*\((.*)\))?\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse: {stmt[:80]}")
+    kind, name, cols_text, _, with_text = m.groups()
+    cols = []
+    for item in _split_top(cols_text):
+        if item.upper().startswith("PRIMARY KEY"):
+            continue
+        cm = re.match(r"(\w+)\s+(\w+)", item.strip())
+        cname, ctype = cm.group(1), cm.group(2).upper()
+        if ctype not in TYPE_MAP:
+            raise ValueError(f"unsupported type {ctype} in {stmt[:60]}")
+        cols.append((cname, TYPE_MAP[ctype]))
+    options = {}
+    if with_text:
+        for kv in _split_top(with_text):
+            km = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", kv)
+            if km:
+                options[km.group(1)] = km.group(2)
+    return StreamDef(name, cols, options, is_table=kind.upper() == "TABLE")
+
+
+_CLAUSE_RE = re.compile(
+    r"\b(FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|OUTPUT)\b",
+    re.IGNORECASE,
+)
+
+
+def _extract_clauses(query_text: str) -> dict[str, str]:
+    """Split a SELECT body into clauses at top parenthesis depth."""
+    # mask parenthesized regions so clause keywords inside them don't split
+    masked = []
+    depth = 0
+    in_str = None
+    for ch in query_text:
+        if in_str:
+            masked.append("\x00")
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            masked.append("\x00")
+        elif ch == "(":
+            depth += 1
+            masked.append("(")
+        elif ch == ")":
+            depth -= 1
+            masked.append(")")
+        else:
+            masked.append(ch if depth == 0 else "\x00")
+    masked = "".join(masked)
+
+    positions = [(m.start(), m.group(1).upper().replace(" ", "_").replace("__", "_"))
+                 for m in _CLAUSE_RE.finditer(masked)]
+    positions = [(p, re.sub(r"\s+", "_", k)) for p, k in positions]
+    clauses: dict[str, str] = {}
+    bounds = positions + [(len(query_text), None)]
+    sel_end = positions[0][0] if positions else len(query_text)
+    clauses["SELECT"] = query_text[len("SELECT"):sel_end].strip() if query_text.upper().startswith("SELECT") else ""
+    for (start, kw), (end, _) in zip(positions, bounds[1:]):
+        body = query_text[start:end]
+        body = re.sub(r"^\s*" + kw.replace("_", r"\s+"), "", body, flags=re.IGNORECASE).strip()
+        clauses[kw] = body
+    return clauses
+
+
+def parse_insert(stmt: str) -> QueryDef:
+    m = re.match(r"INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", stmt, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"cannot parse insert: {stmt[:80]}")
+    target, rest = m.group(1), m.group(2).strip()
+    clauses = _extract_clauses(rest)
+
+    select_items = []
+    for item in _split_top(clauses["SELECT"]):
+        am = re.match(r"(.+?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+        if am:
+            select_items.append((am.group(1).strip(), am.group(2)))
+        else:
+            select_items.append((item.strip(), None))
+
+    q = QueryDef(target=target, select_items=select_items)
+    frm = clauses.get("FROM", "")
+
+    pm = re.match(r"PATTERN\s*\((.*)\)\s*$", frm, re.IGNORECASE | re.DOTALL)
+    if pm:
+        q.pattern = _parse_pattern(pm.group(1))
+    else:
+        q.source, q.window, q.joins = _parse_from(frm)
+
+    q.where = clauses.get("WHERE")
+    q.group_by = clauses.get("GROUP_BY")
+    q.having = clauses.get("HAVING")
+    q.order_by = clauses.get("ORDER_BY")
+    if "LIMIT" in clauses:
+        lm = re.match(r"(\d+)(?:\s+OFFSET\s+(\d+))?", clauses["LIMIT"], re.IGNORECASE)
+        q.limit = int(lm.group(1))
+        if lm.group(2):
+            q.offset = int(lm.group(2))
+    if "OFFSET" in clauses:
+        q.offset = int(re.match(r"(\d+)", clauses["OFFSET"]).group(1))
+    if "OUTPUT" in clauses:
+        om = re.match(
+            r"(FIRST|LAST)\s+EVERY\s+(\d+)\s+EVENTS", clauses["OUTPUT"], re.IGNORECASE
+        )
+        if not om:
+            raise ValueError(f"unsupported OUTPUT clause: {clauses['OUTPUT']}")
+        q.output_rate = (om.group(1).upper(), int(om.group(2)))
+    return q
+
+
+def _parse_from(frm: str):
+    """FROM <stream> [WINDOW(...)] [joins...]"""
+    joins = []
+    join_re = re.compile(
+        r"\b(?:(LEFT|RIGHT|FULL)\s+)?(?:OUTER\s+)?JOIN\s+(\w+)\s+ON\s+",
+        re.IGNORECASE,
+    )
+    matches = list(join_re.finditer(frm))
+    head = frm[: matches[0].start()] if matches else frm
+
+    wm = re.search(r"WINDOW\s*\(\s*'(\w+)'\s*(?:,([^)]*))?\)", head, re.IGNORECASE)
+    window = None
+    if wm:
+        kind = wm.group(1)
+        raw_params = _split_top(wm.group(2)) if wm.group(2) else []
+        params = []
+        for p in raw_params:
+            p = p.strip()
+            if re.fullmatch(r"\d+", p):
+                params.append(int(p))
+            else:
+                params.append(parse_time_ms(p))
+        window = WindowSpec(kind, params)
+        head = head[: wm.start()] + head[wm.end():]
+    source = head.strip().split()[0]
+
+    for i, jm in enumerate(matches):
+        how = (jm.group(1) or "inner").lower()
+        if how == "full":
+            how = "full_outer"
+        stream = jm.group(2)
+        cond_end = matches[i + 1].start() if i + 1 < len(matches) else len(frm)
+        cond = frm[jm.end(): cond_end].strip()
+        joins.append((how, stream, cond))
+    return source, window, joins
+
+
+def _strip_outer_parens(text: str) -> str:
+    text = text.strip()
+    while text.startswith("(") and text.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(text):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(text) - 1:
+                    return text  # outer parens don't wrap the whole body
+        text = text[1:-1].strip()
+    return text
+
+
+def _parse_pattern(body: str) -> PatternDef:
+    body = body.strip()
+    every = False
+    if re.match(r"EVERY\b", body, re.IGNORECASE):
+        every = True
+        body = re.sub(r"^EVERY\s*", "", body, flags=re.IGNORECASE)
+
+    within_ms = None
+    wm = re.search(r"\bWITHIN\s+(.+)$", body, re.IGNORECASE)
+    if wm:
+        within_ms = parse_time_ms(wm.group(1))
+        body = body[: wm.start()].strip()
+    body = _strip_outer_parens(body)
+
+    steps = []
+    for part in re.split(r"->", body):
+        part = part.strip()
+        sm = re.match(
+            r"(\w+)\s*=\s*(\w+)\s*(\[(.*)\])?\s*(\{\s*(\d+)\s*(?:,\s*(\d+))?\s*\})?\s*$",
+            part,
+            re.DOTALL,
+        )
+        if not sm:
+            raise ValueError(f"cannot parse pattern step: {part!r}")
+        alias, stream, _, cond, _, mn, mx = sm.groups()
+        min_c = int(mn) if mn else 1
+        max_c = int(mx) if mx else (int(mn) if mn else 1)
+        steps.append(PatternStepDef(alias, stream, cond, min_c, max_c))
+    return PatternDef(steps, every=every, within_ms=within_ms)

@@ -1,0 +1,288 @@
+"""SQL front-end tests — transcribed from the reference's AppRunner suite
+(exact-row assertions). Citations per test."""
+
+from __future__ import annotations
+
+import pytest
+
+from eventflux_engine_spark.sql import EventFluxApp
+from eventflux_engine_spark.sql.compiler import parse_time_ms
+
+
+class TestFilterProjection:
+    def test_filter_where(self, spark):
+        # ≙ tests/app_runner.rs filter idiom / GRAMMAR.md "Dynamic Output"
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM StockStream (symbol VARCHAR, price DOUBLE, volume BIGINT);
+            CREATE STREAM Out (symbol VARCHAR, price DOUBLE);
+            INSERT INTO Out
+            SELECT symbol, price FROM StockStream WHERE price > 100;
+            """
+        )
+        app.send("StockStream", [("A", 55.0, 10), ("B", 150.0, 20), ("C", 200.0, 5)])
+        assert app.run("Out") == [("B", 150.0), ("C", 200.0)]
+
+    def test_scalar_projection(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (dbl INT, name VARCHAR);
+            INSERT INTO Out SELECT v * 2 AS dbl, upper('ab') AS name FROM S;
+            """
+        )
+        app.send("S", [(1,), (2,)])
+        assert app.run("Out") == [(2, "AB"), (4, "AB")]
+
+
+class TestWindowAggregation:
+    def test_tumbling_group_by(self, spark):
+        # ≙ GRAMMAR.md:246-266 aggregation example; timeBatch semantics on
+        # event time (sends 1s apart → 5-second windows of 5 events)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (symbol VARCHAR, price DOUBLE);
+            CREATE STREAM Out (symbol VARCHAR, total DOUBLE);
+            INSERT INTO Out
+            SELECT symbol, SUM(price) AS total
+            FROM S WINDOW('tumbling', 5 SECONDS) GROUP BY symbol;
+            """
+        )
+        # seq/ts: events 0..4 in window 1, 5..6 in window 2
+        app.send("S", [("A", 1.0), ("A", 2.0), ("B", 10.0), ("A", 4.0), ("B", 20.0)])
+        app.send("S", [("A", 100.0), ("B", 200.0)])
+        assert sorted(app.run("Out")) == [
+            ("A", 7.0), ("A", 100.0), ("B", 30.0), ("B", 200.0),
+        ]
+
+    def test_length_window_agg(self, spark):
+        # ≙ WINDOW('length', N) + aggregation over the live buffer
+        # (window/mod.rs:63-193): final state = last 3 events
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (total BIGINT);
+            INSERT INTO Out SELECT SUM(v) AS total FROM S WINDOW('length', 3);
+            """
+        )
+        app.send("S", [(1,), (2,), (3,), (4,)])
+        assert app.run("Out") == [(9,)]  # 2+3+4
+
+    def test_having(self, spark):
+        # ≙ where_vs_having_test.rs / GRAMMAR.md:641-666
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE STREAM Out (sym VARCHAR, n BIGINT);
+            INSERT INTO Out
+            SELECT sym, COUNT(*) AS n FROM S
+            WHERE v > 0 GROUP BY sym HAVING COUNT(*) >= 2;
+            """
+        )
+        app.send("S", [("a", 1), ("a", 2), ("b", 3), ("a", -5), ("b", 4), ("c", 1)])
+        assert sorted(app.run("Out")) == [("a", 2), ("b", 2)]
+
+
+class TestJoins:
+    def test_inner_join(self, spark):
+        # ≙ GRAMMAR.md:270-281 / tests/app_runner_joins.rs
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM Trades (symbol VARCHAR, price DOUBLE);
+            CREATE TABLE News (symbol VARCHAR, headline VARCHAR);
+            CREATE STREAM Out (symbol VARCHAR, price DOUBLE, headline VARCHAR);
+            INSERT INTO Out
+            SELECT Trades.symbol, Trades.price, News.headline
+            FROM Trades JOIN News ON Trades.symbol = News.symbol;
+            """
+        )
+        app.send("News", [("AAPL", "up"), ("MSFT", "down")])
+        app.send("Trades", [("AAPL", 190.0), ("GOOG", 140.0)])
+        assert app.run("Out") == [("AAPL", 190.0, "up")]
+
+    def test_left_join_null_padding(self, spark):
+        # ≙ LEFT OUTER null padding (table_join_processor.rs:121-124)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM Orders (id INT, symbol VARCHAR);
+            CREATE TABLE Fills (order_id INT, quantity INT);
+            CREATE STREAM Out (id INT, quantity INT);
+            INSERT INTO Out
+            SELECT Orders.id, Fills.quantity
+            FROM Orders LEFT JOIN Fills ON Orders.id = Fills.order_id;
+            """
+        )
+        app.send("Fills", [(1, 100)])
+        app.send("Orders", [(1, "A"), (2, "B")])
+        assert app.run("Out") == [(1, 100), (2, None)]
+
+
+class TestOrderLimit:
+    def test_order_by_limit_offset(self, spark):
+        # ≙ GRAMMAR.md:296-305
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, price DOUBLE);
+            CREATE STREAM Out (sym VARCHAR, price DOUBLE);
+            INSERT INTO Out
+            SELECT sym, price FROM S WHERE price > 10
+            ORDER BY price DESC LIMIT 2 OFFSET 1;
+            """
+        )
+        app.send("S", [("a", 30.0), ("b", 5.0), ("c", 50.0), ("d", 40.0), ("e", 20.0)])
+        assert app.run("Out") == [("d", 40.0), ("a", 30.0)]
+
+    def test_output_first_every(self, spark):
+        # ≙ OUTPUT rate limiting (app_runner_output_rate.rs)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Out SELECT v FROM S OUTPUT FIRST EVERY 3 EVENTS;
+            """
+        )
+        app.send("S", [(i,) for i in range(7)])
+        assert app.run("Out") == [(0,), (3,), (6,)]
+
+
+class TestPatterns:
+    def test_pattern_two_streams(self, spark):
+        # EXACT transcription of tests/app_runner_patterns.rs:804-822
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM A (val INT);
+            CREATE STREAM B (val INT);
+            CREATE STREAM Out (aval INT, bval INT);
+            INSERT INTO Out
+            SELECT A.val AS aval, B.val AS bval
+            FROM PATTERN (e1=A -> e2=B);
+            """
+        )
+        app.send("A", [(10,)])
+        app.send("B", [(20,)])
+        assert app.run("Out") == [(10, 20)]
+
+    def test_pattern_three_streams(self, spark):
+        # ≙ tests/app_runner_patterns.rs:826-849
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM A (val INT);
+            CREATE STREAM B (val INT);
+            CREATE STREAM C (val INT);
+            CREATE STREAM Out (aval INT, bval INT, cval INT);
+            INSERT INTO Out
+            SELECT A.val AS aval, B.val AS bval, C.val AS cval
+            FROM PATTERN (e1=A -> e2=B -> e3=C);
+            """
+        )
+        app.send("A", [(1,)])
+        app.send("B", [(2,)])
+        app.send("C", [(3,)])
+        assert app.run("Out") == [(1, 2, 3)]
+
+    def test_pattern_same_stream(self, spark):
+        # ≙ tests/app_runner_patterns.rs:922 (e1=Trades -> e2=Trades):
+        # non-EVERY matches once with the first two events
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM Trades (price INT);
+            CREATE STREAM Out (p1 INT, p2 INT);
+            INSERT INTO Out
+            SELECT e1.price AS p1, e2.price AS p2
+            FROM PATTERN (e1=Trades -> e2=Trades);
+            """
+        )
+        app.send("Trades", [(5,), (7,), (9,)])
+        assert app.run("Out") == [(5, 7)]
+
+    def test_pattern_every(self, spark):
+        # ≙ pattern_every_overlapping_test.rs semantics
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM A (val INT);
+            CREATE STREAM B (val INT);
+            CREATE STREAM Out (aval INT, bval INT);
+            INSERT INTO Out
+            SELECT e1.val AS aval, e2.val AS bval
+            FROM PATTERN (EVERY (e1=A -> e2=B));
+            """
+        )
+        app.send("A", [(1,)])
+        app.send("A", [(2,)])
+        app.send("B", [(10,)])
+        app.send("A", [(3,)])
+        app.send("B", [(20,)])
+        assert sorted(app.run("Out")) == [(1, 10), (2, 10), (3, 20)]
+
+    def test_pattern_cross_step_condition(self, spark):
+        # ≙ pattern_filter_cross_stream_test.rs: e2[price > e1.price]
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM T (price INT);
+            CREATE STREAM Out (p1 INT, p2 INT);
+            INSERT INTO Out
+            SELECT e1.price AS p1, e2.price AS p2
+            FROM PATTERN (EVERY (e1=T -> e2=T[price > e1.price]));
+            """
+        )
+        app.send("T", [(10,), (5,), (20,), (15,)])
+        # e1=10 waits for next > 10 → 20; e1=5 → 20; e1=20 → none; e1=15 → none
+        assert sorted(app.run("Out")) == [(5, 20), (10, 20)]
+
+    def test_pattern_quantifier(self, spark):
+        # ≙ pattern_sql_integration.rs:179 (e1=A{3} -> e2=B)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM A (val INT);
+            CREATE STREAM B (val INT);
+            CREATE STREAM Out (alast INT, bval INT);
+            INSERT INTO Out
+            SELECT e1.val AS alast, e2.val AS bval
+            FROM PATTERN (e1=A{3} -> e2=B);
+            """
+        )
+        app.send("A", [(1,), (2,), (3,)])
+        app.send("B", [(99,)])
+        assert app.run("Out") == [(3, 99)]  # e1 emit = last of the 3
+
+    def test_pattern_within(self, spark):
+        # ≙ WITHIN expiry (stream_pre_state_processor.rs:282-296); sends are
+        # 1s apart → WITHIN 2 SECONDS spans 3 consecutive events
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM A (val INT);
+            CREATE STREAM B (val INT);
+            CREATE STREAM Out (aval INT, bval INT);
+            INSERT INTO Out
+            SELECT e1.val AS aval, e2.val AS bval
+            FROM PATTERN (EVERY (e1=A -> e2=B) WITHIN 2 SECONDS);
+            """
+        )
+        app.send("A", [(1,)])   # seq 0
+        app.send("A", [(2,)])   # seq 1
+        app.send("A", [(3,)])   # seq 2
+        app.send("B", [(9,)])   # seq 3: within for e1@2 (1s) and e1@1 (2s)
+        assert sorted(app.run("Out")) == [(2, 9), (3, 9)]
+
+
+class TestCompiler:
+    def test_time_literals(self):
+        assert parse_time_ms("5 MINUTES") == 300000
+        assert parse_time_ms("1 second") == 1000
+        with pytest.raises(ValueError):
+            parse_time_ms("5 fortnights")
+
+    def test_chained_queries(self, spark):
+        # query output feeds another query (junction chaining,
+        # insert_into_stream_processor.rs:15)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Mid (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Mid SELECT v FROM S WHERE v > 1;
+            INSERT INTO Out SELECT v FROM Mid WHERE v < 4;
+            """
+        )
+        app.send("S", [(1,), (2,), (3,), (4,)])
+        assert app.run("Out") == [(2,), (3,)]
