@@ -312,6 +312,119 @@ def q_pattern_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# general OLAP (TPC-H-style over the star schema) — proves the engine is a
+# full analytics surface, not only the CEP subset; bench anchors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: predicate pushdown to parquet + "
+    "two-key hash agg with map-side partials (whole-stage codegen)",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    """
+    SELECT c.c_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name
+    ORDER BY revenue DESC, c_name
+    LIMIT 10
+    """,
+    doc="3-way star join + agg + top-N: customer/orders broadcast into the "
+    "lineitem fact scan, TakeOrderedAndProject for the top-10 (no global sort)",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_name")
+        .limit(10)
+    )
+
+
+@register(
+    "events_sessionized_funnel",
+    """
+    WITH sess AS (
+      SELECT user_id, ts, event_type,
+             cast(sum(CASE WHEN prev_ts IS NULL
+                      OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_ts
+            FROM events)
+    )
+    SELECT user_id, sid, count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="sessionized funnel over the raw events table (lag+cumsum "
+    "sessionization — the window-function twin of F.session_window)",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (epoch_seconds("ts") - epoch_seconds("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
 

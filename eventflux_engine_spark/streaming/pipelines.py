@@ -96,7 +96,8 @@ def group_agg_update_stream(
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    left_key: str,
+    right_key: str,
     left_ts: str,
     right_ts: str,
     max_delta_s: int,
@@ -105,11 +106,12 @@ def stream_stream_join(
 ) -> DataFrame:
     """Watermarked stream-stream join with a time bound on both sides so
     Spark can evict join state (≙ reference JoinProcessor buffers, which the
-    reference never evicts — ``join_processor.rs:18-146``; we do better)."""
+    reference never evicts — ``join_processor.rs:18-146``; we do better).
+    Key/ts column names must differ between sides (rename upstream)."""
     lw = _ltz(left, left_ts).withWatermark(left_ts, watermark)
     rw = _ltz(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
-        (lw[key] == rw[key])
+        (lw[left_key] == rw[right_key])
         & (rw[right_ts] > lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delta_s} SECONDS"))
     )
