@@ -1,0 +1,62 @@
+"""Bucketed, time-partitioned transcript storage.
+
+The 100 TB layout (SURVEY §7.1, north_star): an Iceberg table partitioned by
+``days(ts)`` + ``bucket(N, conv_id)``, files sorted by ``(conv_id, ts)``.
+Iceberg jars are absent in this sandbox, so the same layout is realized as
+hive-partitioned parquet — the three properties that matter are identical:
+
+1. **partition pruning**: time filters prune day directories at plan time
+   (visible as ``PartitionFilters`` in explain);
+2. **bucket/key integrity**: a conversation lives wholly inside one bucket →
+   keyed operators (NFA, sessionization) can read with ``input_sorted=True``
+   and skip the exchange entirely;
+3. **write-once shuffle**: the expensive repartition+sort is paid at write
+   time, amortized over every later query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 16
+
+
+def bucket_of(conv_col, n_buckets: int = N_BUCKETS):
+    return F.pmod(F.xxhash64(conv_col), F.lit(n_buckets))
+
+
+def write_transcripts(
+    df: DataFrame, path: str, n_buckets: int = N_BUCKETS, ts_col: str = "ts"
+) -> None:
+    """Write day-partitioned, conv-bucketed, (conv, ts)-sorted transcripts."""
+    out = df.withColumn("day", F.to_date(F.col(ts_col))).withColumn(
+        "bucket", bucket_of(F.col("conv_id"), n_buckets).cast("int")
+    )
+    (
+        out.repartition("day", "bucket")
+        .sortWithinPartitions("conv_id", ts_col, "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("day", "bucket")
+        .parquet(path)
+    )
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_bucket_sorted(spark: SparkSession, path: str, bucket: int) -> DataFrame:
+    """Read one bucket with rows re-sorted to the bucketed-input contract.
+
+    Within a bucket every conversation is complete; the per-file sort order
+    is (conv_id, ts) but day-partition boundaries interleave files, so a
+    cheap in-partition sort restores the contract without a shuffle when
+    the caller coalesces per bucket.
+    """
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket") == bucket)
+        .coalesce(1)
+        .sortWithinPartitions("conv_id", "ts", "turn_idx")
+    )

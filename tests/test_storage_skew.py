@@ -1,0 +1,109 @@
+"""Bucketed storage (partition pruning, key integrity) and skew handling."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from eventflux_engine_spark import storage
+from eventflux_engine_spark.cep import PatternSpec, Step, match_pattern_batch
+from eventflux_engine_spark.datamodel import synth_transcripts, transcripts_df
+from eventflux_engine_spark.operators.aggregations import salted_group_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = f"/tmp/efs_store_{uuid.uuid4().hex[:8]}"
+    os.makedirs(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestBucketedStorage:
+    def test_roundtrip_and_partition_pruning(self, spark, tmpdir):
+        t = transcripts_df(spark, SF)
+        path = os.path.join(tmpdir, "transcripts")
+        storage.write_transcripts(t, path)
+
+        back = storage.read_transcripts(spark, path)
+        assert back.count() == t.count()
+
+        # day filter must reach PartitionFilters (pruned scan, no data read
+        # from other days) — the Iceberg days(ts) analog
+        pruned = back.filter(F.col("day") == "2024-01-05")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+        want = t.filter(F.to_date("ts") == "2024-01-05").count()
+        assert pruned.count() == want
+
+    def test_bucket_key_integrity(self, spark, tmpdir):
+        t = transcripts_df(spark, SF)
+        path = os.path.join(tmpdir, "transcripts")
+        storage.write_transcripts(t, path)
+        back = storage.read_transcripts(spark, path)
+        # each conv maps to exactly one bucket (bucket integrity — a hot
+        # conversation can never straddle buckets)
+        multi = (
+            back.groupBy("conv_id")
+            .agg(F.count_distinct("bucket").alias("nb"))
+            .filter(F.col("nb") > 1)
+            .count()
+        )
+        assert multi == 0
+
+    def test_pattern_over_bucket_zero_shuffle(self, spark, tmpdir):
+        t = transcripts_df(spark, SF)
+        path = os.path.join(tmpdir, "transcripts")
+        storage.write_transcripts(t, path)
+        spec = PatternSpec(
+            steps=(Step("e1", "is_user"), Step("e2", "is_assistant")),
+            within=pd.Timedelta(hours=12),
+        )
+
+        def flags(df):
+            return df.withColumn("is_user", F.col("role") == "user").withColumn(
+                "is_assistant", F.col("role") == "assistant"
+            )
+
+        per_bucket = []
+        for b in range(storage.N_BUCKETS):
+            df = flags(storage.read_bucket_sorted(spark, path, b))
+            out = match_pattern_batch(df, spec, input_sorted=True)
+            # zero-shuffle plan: no Exchange between scan and the matcher
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan.split("MapInPandas")[-1]
+            per_bucket.append(out)
+        got = per_bucket[0]
+        for o in per_bucket[1:]:
+            got = got.unionByName(o)
+        want = match_pattern_batch(flags(t), spec)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+
+
+class TestSkew:
+    def test_salted_agg_equals_naive_on_hot_key(self, spark):
+        # 30% of 200k rows land on conv000000 — the salted plan must return
+        # byte-identical aggregates while spreading the hot key
+        t = synth_transcripts(spark, 200_000, 1000, hot_conv_pct=30).withColumn(
+            "text_len", F.length("text").cast("bigint")
+        )
+        naive = (
+            t.groupBy("conv_id")
+            .agg(F.sum("text_len").alias("sum_len"), F.count(F.lit(1)).alias("n"))
+        )
+        salted = salted_group_agg(
+            t, ["conv_id"], {"sum_len": "text_len"}, count_alias="n",
+            salt_buckets=16, salt_source="turn_idx",
+        )
+        assert salted.exceptAll(naive).count() == 0
+        assert naive.exceptAll(salted).count() == 0
+        hot = salted.filter(F.col("conv_id") == "conv000000").collect()[0]
+        assert hot["n"] > 50_000  # the hot key really is hot
