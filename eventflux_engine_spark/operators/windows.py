@@ -162,6 +162,47 @@ def length_batch_agg(
     return bucketed.groupBy(*keys, "batch_id").agg(*aggs)
 
 
+def length_window_changelog(
+    df: DataFrame,
+    n: int,
+    order_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding count window as a CHANGELOG: each arrival emits its Current
+    row, preceded by the Expired row of the event it evicts (once the buffer
+    holds N events).
+
+    ≙ reference ``length(N)`` passthrough semantics: output callbacks see
+    Current AND Expired events — ``WINDOW('length', 2)`` over 1,2,3 emits
+    rows [1],[2],[1],[3] where the second [1] is event 1's eviction record,
+    expired-before-current within an arrival
+    (``tests/app_runner_windows.rs:25-45``; emit order ``window/mod.rs:130-151``).
+
+    Output adds ``is_expired`` and ``emit_seq`` (total emission order):
+    arrival i emits current at ``2i+1`` and the eviction of arrival i-N at
+    ``2i`` — downstream sorts on ``emit_seq`` to replay the reference's
+    callback order.
+    """
+    w = Window.partitionBy(*(keys or [F.lit(1)])).orderBy(*order_cols)
+    arrival = F.row_number().over(w) - 1  # 0-based arrival index
+    base = df.withColumn("_arrival", arrival)
+    current = base.withColumn("is_expired", F.lit(False)).withColumn(
+        "emit_seq", (F.col("_arrival") * 2 + 1).cast("bigint")
+    )
+    # event at arrival a is evicted by arrival a+n (if it exists)
+    per_key_count = F.count(F.lit(1)).over(
+        Window.partitionBy(*(keys or [F.lit(1)]))
+    )
+    expired = (
+        base.withColumn("_total", per_key_count)
+        .filter(F.col("_arrival") + n < F.col("_total"))
+        .withColumn("is_expired", F.lit(True))
+        .withColumn("emit_seq", ((F.col("_arrival") + n) * 2).cast("bigint"))
+        .drop("_total")
+    )
+    return current.unionByName(expired).drop("_arrival")
+
+
 def sort_window_topk(
     df: DataFrame,
     n: int,

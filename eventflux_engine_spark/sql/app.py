@@ -57,6 +57,32 @@ class EventFluxApp:
     # -- DDL / DML registration ------------------------------------------
 
     def execute(self, sql: str) -> "EventFluxApp":
+        # PARTITION WITH (...) BEGIN ... END blocks contain ';' — lift them
+        # out before statement splitting (partition/parser.rs:14 analog)
+        partition_blocks = []
+
+        def _capture(m: re.Match) -> str:
+            partition_blocks.append((m.group(1), m.group(2)))
+            return ""
+
+        sql = re.sub(
+            r"PARTITION\s+WITH\s*\(([^)]*)\)\s*BEGIN(.*?)END\s*;?",
+            _capture,
+            sql,
+            flags=re.IGNORECASE | re.DOTALL,
+        )
+        for keys_text, body in partition_blocks:
+            pkeys = {}
+            for item in keys_text.split(","):
+                km = re.match(r"\s*(\w+)\s+OF\s+(\w+)\s*", item, re.IGNORECASE)
+                pkeys[km.group(2)] = km.group(1)
+            for stmt in split_statements(body):
+                q = parse_insert(stmt)
+                q.partition_keys.update(pkeys)
+                self.queries.append(q)
+                if q.target not in self.streams:
+                    self.streams[q.target] = StreamDef(q.target, [])
+                    self._rows.setdefault(q.target, [])
         for stmt in split_statements(sql):
             head = stmt.split(None, 1)[0].upper()
             if head == "CREATE":
@@ -136,6 +162,7 @@ class EventFluxApp:
             _AGG_RE.search(e) for e, _ in q.select_items
         )
         items = [f"{e} AS {a}" if a else e for e, a in q.select_items]
+        pkey = q.partition_keys.get(q.source)  # PARTITION WITH key, if any
 
         src = q.source
         where = f" WHERE {q.where}" if q.where else ""
@@ -151,10 +178,15 @@ class EventFluxApp:
                 )
             elif w.kind == "session":
                 win = f"session_window(__ts, '{w.params[0]} milliseconds')"
+            elif w.kind == "length" and not is_agg:
+                # passthrough length window → Current+Expired changelog
+                # (app_runner_windows.rs:25-45 contract)
+                return self._length_changelog(q, w.params[0])
             elif w.kind == "length":
                 n = w.params[0]
+                part = f"PARTITION BY {pkey} " if pkey else ""
                 src = (
-                    f"(SELECT * FROM (SELECT *, row_number() OVER (ORDER BY"
+                    f"(SELECT * FROM (SELECT *, row_number() OVER ({part}ORDER BY"
                     f" __seq DESC) AS __rn FROM {q.source}{where}) WHERE __rn <= {n})"
                 )
                 where = ""
@@ -170,8 +202,19 @@ class EventFluxApp:
                 group = f" GROUP BY {win}"
                 if q.group_by:
                     group += f", {q.group_by}"
+                if pkey:
+                    group += f", {pkey}"
         elif q.group_by:
             group = f" GROUP BY {q.group_by}"
+            if pkey:
+                group += f", {pkey}"
+        elif pkey and is_agg:
+            # PARTITION WITH around a bare aggregate = per-key aggregation
+            # (reference partition/mod.rs:9 per-key query instances; note:
+            # the reference's own partition_sum test leaks state across keys
+            # — tests/app_runner_partitions.rs:64-71 asserts [1,3,6] — we
+            # implement the DOCUMENTED per-key isolation instead)
+            group = f" GROUP BY {pkey}"
 
         carry_seq = not is_agg
         sel = ", ".join(items)
@@ -224,6 +267,25 @@ class EventFluxApp:
             out = out.filter(keep).drop("__rn")
         return out
 
+    def _length_changelog(self, q: QueryDef, n: int) -> DataFrame:
+        """WINDOW('length', N) passthrough: emit Current rows plus Expired
+        eviction records, expired-before-current within an arrival."""
+        from ..operators.windows import length_window_changelog
+
+        df = self.stream_df(q.source)
+        if q.where:
+            df = df.filter(F.expr(q.where))
+        pkey = q.partition_keys.get(q.source)
+        out = length_window_changelog(
+            df, n, order_cols=["__seq"], keys=[pkey] if pkey else None
+        )
+        items = [
+            F.expr(e).alias(a) if a else F.expr(e) for e, a in q.select_items
+        ]
+        return out.select(
+            *items, F.col("emit_seq").alias("__seq"), F.col("__ts")
+        )
+
     # -- pattern queries ---------------------------------------------------
 
     def _run_pattern_query(self, q: QueryDef, stack: frozenset) -> DataFrame:
@@ -249,8 +311,22 @@ class EventFluxApp:
             part = df.select(*proj)
             union = part if union is None else union.unionByName(part)
 
+        # PARTITION WITH (key OF Stream) → per-key NFA instances; without a
+        # partition the pattern is global (single key). The reference's
+        # patterns are global by default; PARTITION wraps them per key
+        # (partition/parser.rs:14, app_runner_partitions.rs).
+        if q.partition_keys:
+            key_cols = set(q.partition_keys.values())
+            if len(key_cols) != 1:
+                raise ValueError(
+                    "pattern PARTITION keys must share one column name, got "
+                    f"{sorted(key_cols)}"
+                )
+            key_expr = F.col(next(iter(key_cols))).cast("string")
+        else:
+            key_expr = F.lit("__global__")
         union = (
-            union.withColumn("conv_id", F.lit("__global__"))
+            union.withColumn("conv_id", key_expr)
             .withColumn("turn_idx", F.col("__seq").cast("int"))
             .withColumn("ts", F.col("__ts"))
         )

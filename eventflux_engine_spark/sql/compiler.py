@@ -105,6 +105,9 @@ class QueryDef:
     offset: Optional[int] = None
     output_rate: Optional[tuple[str, int]] = None  # (FIRST|LAST, n)
     pattern: Optional[PatternDef] = None
+    #: PARTITION WITH (col OF Stream, ...) — per-key isolated query
+    #: instances (reference partition/parser.rs:14); stream name → key col
+    partition_keys: dict = field(default_factory=dict)
 
 
 def split_statements(sql: str) -> list[str]:

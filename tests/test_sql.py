@@ -286,3 +286,86 @@ class TestCompiler:
         )
         app.send("S", [(1,), (2,), (3,), (4,)])
         assert app.run("Out") == [(2,), (3,)]
+
+
+class TestLengthWindowChangelog:
+    def test_current_and_expired_rows(self, spark):
+        # EXACT transcription of tests/app_runner_windows.rs:25-45:
+        # WINDOW('length', 2) over 1,2,3 emits [1],[2],[1],[3] — the second
+        # [1] is event 1's eviction record, expired before current
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Out SELECT v FROM In WINDOW('length', 2);
+            """
+        )
+        app.send("In", [(1,), (2,), (3,)])
+        assert app.run("Out") == [(1,), (2,), (1,), (3,)]
+
+    def test_longer_run(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Out SELECT v FROM In WINDOW('length', 2);
+            """
+        )
+        app.send("In", [(1,), (2,), (3,), (4,)])
+        # arrivals: 1 → [1]; 2 → [2]; 3 → expel 1, [1],[3]; 4 → expel 2, [2],[4]
+        assert app.run("Out") == [(1,), (2,), (1,), (3,), (2,), (4,)]
+
+
+class TestPartition:
+    def test_partition_forward(self, spark):
+        # ≙ tests/app_runner_partitions.rs:9-39 (row-level passthrough)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM InStream (symbol VARCHAR, volume INT);
+            CREATE STREAM OutStream (vol INT);
+            PARTITION WITH (symbol OF InStream)
+            BEGIN
+                INSERT INTO OutStream SELECT volume AS vol FROM InStream;
+            END;
+            """
+        )
+        app.send("InStream", [("a", 1), ("b", 2), ("a", 3)])
+        assert app.run("OutStream") == [(1,), (2,), (3,)]
+
+    def test_partition_sum_per_key_isolation(self, spark):
+        # per-key aggregate isolation (documented partition semantics;
+        # final-state batch contract: one row per key). NOTE: the
+        # reference's own test (app_runner_partitions.rs:64-71) asserts
+        # cross-key leakage [1,3,6] — we implement the documented isolation.
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM InStream (symbol VARCHAR, volume INT);
+            CREATE STREAM OutStream (sumvol BIGINT);
+            PARTITION WITH (symbol OF InStream)
+            BEGIN
+                INSERT INTO OutStream SELECT SUM(volume) AS sumvol FROM InStream;
+            END;
+            """
+        )
+        app.send("InStream", [("x", 1), ("x", 2), ("y", 3)])
+        assert sorted(app.run("OutStream")) == [(3,), (3,)]
+
+    def test_partitioned_pattern(self, spark):
+        # per-key NFA instances: pattern matches only within a symbol
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM T (symbol VARCHAR, price INT);
+            CREATE STREAM Out (p1 INT, p2 INT);
+            PARTITION WITH (symbol OF T)
+            BEGIN
+                INSERT INTO Out
+                SELECT e1.price AS p1, e2.price AS p2
+                FROM PATTERN (EVERY (e1=T[price > 100] -> e2=T[price < 50]));
+            END;
+            """
+        )
+        app.send("T", [("a", 150)])
+        app.send("T", [("b", 40)])   # b's low price must NOT complete a's match
+        app.send("T", [("a", 30)])
+        app.send("T", [("b", 200)])
+        assert app.run("Out") == [(150, 30)]
