@@ -89,6 +89,20 @@ def output_schema(spec: PatternSpec, input_schema: T.StructType) -> T.StructType
             fields.append(T.StructField(f"{s.name}_count", T.IntegerType()))
         for c in s.emit:
             fields.append(T.StructField(f"{s.name}_{c}", by_name[c]))
+        for fn, c in s.agg_emit:
+            if fn == "count":
+                t = T.IntegerType()
+            elif fn == "avg":
+                t = T.DoubleType()
+            elif fn == "sum":
+                t = (
+                    T.LongType()
+                    if isinstance(by_name[c], (T.IntegerType, T.LongType, T.ShortType))
+                    else T.DoubleType()
+                )
+            else:
+                t = by_name[c]
+            fields.append(T.StructField(f"{s.name}_{fn}_{c}", t))
     return T.StructType(fields)
 
 
@@ -98,6 +112,7 @@ def _pruned(df: DataFrame, spec: PatternSpec) -> DataFrame:
     needed.update(s.flag_col2 for s in spec.steps if s.flag_col2)
     for s in spec.steps:
         needed.update(s.emit)
+        needed.update(c for _, c in s.agg_emit)
     needed.update(spec.order_cols)
     return df.select(*sorted(needed))  # column pruning before the shuffle
 

@@ -41,7 +41,17 @@ def _event_fields(spec: PatternSpec) -> list[str]:
     fields = {"turn_idx", spec.ts_col}
     for s in spec.steps:
         fields.update(s.emit)
+        fields.update(c for _, c in s.agg_emit)
     return sorted(fields)
+
+
+_COLLECTION_AGGS = {
+    "sum": sum,
+    "count": len,
+    "min": min,
+    "max": max,
+    "avg": lambda xs: sum(xs) / len(xs),
+}
 
 
 def _effective_flags(pdf: pd.DataFrame, step: Step) -> np.ndarray:
@@ -64,6 +74,11 @@ def _emit_row(spec: PatternSpec, key: Any, matched: list[list[dict]]) -> dict:
             row[f"{s.name}_count"] = len(matched[i])
         for c in s.emit:
             row[f"{s.name}_{c}"] = last[c]
+        for fn, c in s.agg_emit:
+            # collection aggregation over the step's matched-event chain
+            # (collection_aggregation_executor.rs:141-696)
+            vals = [ev[c] for ev in matched[i]]
+            row[f"{s.name}_{fn}_{c}"] = _COLLECTION_AGGS[fn](vals)
     return row
 
 

@@ -50,6 +50,11 @@ class Step:
     #: one side); OR completes on either side's first event.
     logic: str = "single"
     flag_col2: Optional[str] = None
+    #: collection aggregations over this step's matched-event chain
+    #: (``sum(e1.price)`` — collection_aggregation_executor.rs:141-696):
+    #: (fn, col) pairs with fn in sum|avg|min|max|count; emitted as
+    #: ``{name}_{fn}_{col}``.
+    agg_emit: tuple[tuple[str, str], ...] = ()
 
     def __post_init__(self) -> None:
         if self.min_count < 1 or self.max_count < self.min_count:
@@ -96,6 +101,7 @@ class PatternSpec:
             and s.max_count == 1
             and s.cross_pred is None
             and s.logic != "and"
+            and not s.agg_emit
             for s in self.steps
         ) and self.every and self.mode == "pattern"
 
@@ -113,4 +119,6 @@ class PatternSpec:
                 cols.append((f"{s.name}_count", "__count"))
             for c in s.emit:
                 cols.append((f"{s.name}_{c}", c))
+            for fn, c in s.agg_emit:
+                cols.append((f"{s.name}_{fn}_{c}", c))
         return cols

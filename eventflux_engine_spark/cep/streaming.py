@@ -64,6 +64,7 @@ def match_pattern_stream(
     needed.update(s.flag_col2 for s in spec.steps if s.flag_col2)
     for s in spec.steps:
         needed.update(s.emit)
+        needed.update(c for _, c in s.agg_emit)
     needed.update(spec.order_cols)
     buffer_cols = sorted(needed - {key_col})
 

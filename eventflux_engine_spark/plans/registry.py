@@ -45,9 +45,24 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
+def _pin_session(fn: Callable) -> Callable:
+    """Defensive wrapper: oracle comparability requires UTC session time and
+    Arrow; the driver may construct its own SparkSession, so pin the runtime
+    confs on every call (both are runtime-settable)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def register(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn, oracle, doc)
+        QUERIES[name] = QuerySpec(_pin_session(fn), oracle, doc)
         return fn
 
     return deco

@@ -186,3 +186,41 @@ class TestSparkIntegration:
         out = match_pattern_batch(df, spec).toPandas()
         assert sorted(out["conv_id"]) == ["c1"]
         assert out.iloc[0]["e2_count"] == 2
+
+
+class TestCollectionAggregations:
+    def test_sum_avg_over_quantified_step(self):
+        # ≙ collection aggs over matches: count(e1), sum(e1.x), avg/min/max
+        # (collection_aggregation_executor.rs:141-696)
+        ev = mk_events(["A", "B", "B", "B", "C"])
+        ev["price"] = [5, 10, 20, 30, 99]
+        spec = PatternSpec(
+            steps=(
+                Step("e1", "is_a"),
+                Step(
+                    "e2", "is_b", 3, 3,
+                    agg_emit=(("sum", "price"), ("avg", "price"),
+                              ("min", "price"), ("max", "price")),
+                ),
+                Step("e3", "is_c"),
+            )
+        )
+        rows, _, _ = run_nfa(ev, spec)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["e2_sum_price"] == 60
+        assert r["e2_avg_price"] == 20.0
+        assert r["e2_min_price"] == 10 and r["e2_max_price"] == 30
+
+    def test_spark_end_to_end_with_agg_emit(self, spark):
+        ev = mk_events(["A", "B", "B", "C"])
+        ev["price"] = [1, 7, 9, 3]
+        spec = PatternSpec(
+            steps=(
+                Step("e1", "is_a"),
+                Step("e2", "is_b", 2, 2, agg_emit=(("sum", "price"),)),
+                Step("e3", "is_c"),
+            )
+        )
+        out = match_pattern_batch(spark.createDataFrame(ev), spec).toPandas()
+        assert len(out) == 1 and out.iloc[0]["e2_sum_price"] == 16
