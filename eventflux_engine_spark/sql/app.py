@@ -35,6 +35,7 @@ from .compiler import (
     StreamDef,
     parse_create,
     parse_insert,
+    parse_trigger,
     split_statements,
 )
 
@@ -85,7 +86,11 @@ class EventFluxApp:
                     self._rows.setdefault(q.target, [])
         for stmt in split_statements(sql):
             head = stmt.split(None, 1)[0].upper()
-            if head == "CREATE":
+            if head == "CREATE" and re.match(r"CREATE\s+TRIGGER", stmt, re.IGNORECASE):
+                d = parse_trigger(stmt)
+                self.streams[d.name] = d
+                self._rows.setdefault(d.name, [])
+            elif head == "CREATE":
                 d = parse_create(stmt)
                 self.streams[d.name] = d
                 self._rows.setdefault(d.name, [])
@@ -121,7 +126,22 @@ class EventFluxApp:
         sd = self.streams[name]
         schema = ", ".join(f"{c} {t}" for c, t in sd.columns)
         schema = (schema + ", " if schema else "") + "__seq bigint, __ts timestamp"
-        return self.spark.createDataFrame(self._rows[name], schema)
+        rows = self._rows[name]
+        if sd.trigger is not None:
+            # deterministic tick generation over the app's logical clock:
+            # 'start' fires once at epoch; EVERY d fires after each interval
+            # up to the last arrival (trigger_runtime.rs:13 analog)
+            if sd.trigger == "start":
+                ticks = [_EPOCH]
+            else:
+                step = datetime.timedelta(milliseconds=int(sd.trigger))
+                end = _EPOCH + datetime.timedelta(seconds=self._seq)
+                ticks, t = [], _EPOCH + step
+                while t <= end:
+                    ticks.append(t)
+                    t += step
+            rows = [(t, 10_000_000 + i, t) for i, t in enumerate(ticks)]
+        return self.spark.createDataFrame(rows, schema)
 
     def stream_df(self, name: str, _stack: frozenset = frozenset()) -> DataFrame:
         """Materialize a stream: sent rows + every query targeting it."""

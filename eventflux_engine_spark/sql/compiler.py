@@ -66,6 +66,33 @@ class StreamDef:
     columns: list[tuple[str, str]]  # (name, spark type)
     options: dict[str, str] = field(default_factory=dict)
     is_table: bool = False
+    #: trigger streams (CREATE TRIGGER ... AT ...): 'start' | every-ms int
+    #: (reference trigger_definition.rs:9-17; SQL application.rs:213)
+    trigger: Optional[object] = None
+
+
+def parse_trigger(stmt: str) -> StreamDef:
+    """``CREATE TRIGGER Name AT EVERY <time>`` / ``AT 'start'`` /
+    ``AT CRON '*/n * * * * *'`` (seconds-step crons map to every-n-seconds;
+    richer crons are a processing-time Trigger concern in streaming mode)."""
+    m = re.match(
+        r"CREATE\s+TRIGGER\s+(\w+)\s+AT\s+(.*)$", stmt, re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        raise ValueError(f"cannot parse trigger: {stmt[:60]}")
+    name, spec = m.group(1), m.group(2).strip()
+    if re.fullmatch(r"'start'", spec, re.IGNORECASE):
+        trig = "start"
+    elif spec.upper().startswith("EVERY"):
+        trig = parse_time_ms(spec[5:])
+    elif spec.upper().startswith("CRON"):
+        cm = re.match(r"CRON\s+'\*/(\d+) \* \* \* \* \*'", spec, re.IGNORECASE)
+        if not cm:
+            raise ValueError(f"only seconds-step crons supported in batch mode: {spec}")
+        trig = int(cm.group(1)) * 1000
+    else:
+        raise ValueError(f"unsupported trigger spec: {spec}")
+    return StreamDef(name, [("triggered_time", "timestamp")], trigger=trig)
 
 
 @dataclass

@@ -369,3 +369,45 @@ class TestPartition:
         app.send("T", [("a", 30)])
         app.send("T", [("b", 200)])
         assert app.run("Out") == [(150, 30)]
+
+
+class TestTriggers:
+    def test_periodic_trigger_emits(self, spark):
+        # ≙ tests/app_runner_triggers.rs:50-57 (CREATE TRIGGER PT AT EVERY ...):
+        # deterministic clock — 10 sent events advance it 10s, EVERY 2 SECONDS
+        # fires at +2,4,6,8,10
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE TRIGGER PT AT EVERY 2 SECONDS;
+            CREATE STREAM Out (triggered_time TIMESTAMP);
+            INSERT INTO Out SELECT triggered_time FROM PT;
+            """
+        )
+        app.send("S", [(i,) for i in range(10)])
+        out = app.run("Out")
+        assert len(out) == 5
+
+    def test_start_trigger_emits_once(self, spark):
+        # ≙ tests/app_runner_triggers.rs:13-22
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE TRIGGER TrigStream AT 'start';
+            CREATE STREAM Out (triggered_time TIMESTAMP);
+            INSERT INTO Out SELECT triggered_time FROM TrigStream;
+            """
+        )
+        assert len(app.run("Out")) == 1
+
+    def test_cron_seconds_trigger(self, spark):
+        # ≙ tests/app_runner_triggers.rs:60-67 (AT CRON '*/1 * * * * *')
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE TRIGGER CronStr AT CRON '*/1 * * * * *';
+            CREATE STREAM Out (triggered_time TIMESTAMP);
+            INSERT INTO Out SELECT triggered_time FROM CronStr;
+            """
+        )
+        app.send("S", [(1,), (2,), (3,)])
+        assert len(app.run("Out")) == 3
