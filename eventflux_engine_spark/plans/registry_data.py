@@ -314,6 +314,32 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_features_udf",
+    """
+    SELECT doc_id,
+           cast(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+             AS n_tokens,
+           cast(length(text) AS INTEGER) AS n_chars,
+           round(len(regexp_extract_all(text, '([A-Z])', 0))
+                 / length(text), 4) AS upper_ratio
+    FROM documents
+    """,
+    doc="Arrow-vectorized pandas UDF text features (the north_rule UDF "
+    "surface, functions/text.py:text_features_pandas) — oracle-gated "
+    "against SQL-recomputed features",
+)
+def q_text_features_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.withColumn("f", TX.text_features_pandas(F.col("text")))
+    return feat.select(
+        "doc_id",
+        F.col("f.n_tokens").alias("n_tokens"),
+        F.col("f.n_chars").alias("n_chars"),
+        F.round("f.upper_ratio", 4).alias("upper_ratio"),
+    )
+
+
+@register(
     "text_fingerprint",
     f"""
     SELECT doc_id, md5({DD.NORMALIZE_SQL.format(c='text')}) AS fp

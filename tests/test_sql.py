@@ -411,3 +411,24 @@ class TestTriggers:
         )
         app.send("S", [(1,), (2,), (3,)])
         assert len(app.run("Out")) == 3
+
+
+class TestTableDML:
+    def test_insert_into_table_then_join(self, spark):
+        # ≙ tests/app_runner_tables.rs:248 — marked
+        # "#[ignore = INSERT INTO TABLE runtime not implemented]" in the
+        # reference; our dataflow handles stream->table inserts natively
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, label VARCHAR);
+            CREATE TABLE T (id INT, label VARCHAR);
+            CREATE STREAM Probe (id INT);
+            CREATE STREAM Out (id INT, label VARCHAR);
+            INSERT INTO T SELECT id, label FROM In;
+            INSERT INTO Out
+            SELECT Probe.id, T.label FROM Probe JOIN T ON Probe.id = T.id;
+            """
+        )
+        app.send("In", [(1, "a"), (2, "b")])
+        app.send("Probe", [(2,), (3,)])
+        assert app.run("Out") == [(2, "b")]
