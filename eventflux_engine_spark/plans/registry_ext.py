@@ -311,6 +311,65 @@ def q_pattern_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cep_fused_rollup",
+    with_transcript_views(
+        """
+        WITH pattern_matches AS (
+          SELECT u.conv_id, u.turn_idx
+          FROM transcripts u JOIN transcripts a
+            ON a.conv_id = u.conv_id AND a.role = 'assistant'
+           AND a.ts > u.ts AND epoch(a.ts) - epoch(u.ts) <= 43200
+          WHERE u.role = 'user'
+          QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                     ORDER BY a.ts, a.turn_idx) = 1
+        ), sess AS (
+          SELECT conv_id,
+                 cast(sum(CASE WHEN prev_ts IS NULL
+                          OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_sessions
+          FROM (SELECT conv_id, ts,
+                       lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                         AS prev_ts
+                FROM transcripts)
+          GROUP BY conv_id
+        )
+        SELECT t.conv_id,
+               count(*) AS n_turns,
+               coalesce(any_value(pm.n_matches), 0) AS n_matches,
+               any_value(s.n_sessions) AS n_sessions,
+               count(DISTINCT cast(floor(epoch(t.ts)/300) AS BIGINT)) AS n_windows,
+               count(*) FILTER (WHERE t.tool <> '') AS tool_calls
+        FROM transcripts t
+        LEFT JOIN (SELECT conv_id, count(*) AS n_matches
+                   FROM pattern_matches GROUP BY conv_id) pm
+          ON pm.conv_id = t.conv_id
+        JOIN sess s ON s.conv_id = t.conv_id
+        GROUP BY t.conv_id
+        """
+    ),
+    doc="FUSED single-pass CEP pipeline (cep/fused.py — the bench headline "
+    "job): per-conv turn counts, pattern matches (user->assistant within "
+    "12h), session counts (30m gap), non-empty 5-min windows, tool calls — "
+    "one numpy pass, oracle recomputes every component independently",
+)
+def q_cep_fused_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cep.fused import fused_transcript_pipeline
+
+    t = (
+        transcripts_df(spark, sf_dir)
+        .withColumn("is_user", F.col("role") == "user")
+        .withColumn("is_assistant", F.col("role") == "assistant")
+    )
+    spec = PatternSpec(
+        steps=(Step("e1", "is_user"), Step("e2", "is_assistant")),
+        within=pd.Timedelta(hours=12),
+    )
+    return fused_transcript_pipeline(
+        t, spec, session_gap_s=1800, window_s=300, input_sorted=False
+    )
+
+
 # ---------------------------------------------------------------------------
 # general OLAP (TPC-H-style over the star schema) — proves the engine is a
 # full analytics surface, not only the CEP subset; bench anchors
