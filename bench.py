@@ -127,6 +127,19 @@ def main() -> None:
     fused_s = time.time() - t0
     timings["cep_fused_bucketed"] = round(fused_s, 3)
 
+    # skew variant: 30% of turns in ONE conversation; the shuffled-NFA path
+    # + salted aggregation keep the hot key from pinning a reducer
+    th = synth_transcripts(
+        spark, CEP_TURNS, max(CEP_TURNS // 200, 64), hot_conv_pct=30,
+        partitions=cores * 4,
+    )
+    th = th.withColumn("is_user", F.col("role") == "user").withColumn(
+        "is_assistant", F.col("role") == "assistant"
+    )
+    t0 = time.time()
+    match_pattern_batch(th, spec).groupBy().count().collect()
+    timings["cep_pattern_hot30_skew"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

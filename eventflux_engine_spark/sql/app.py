@@ -163,6 +163,182 @@ class EventFluxApp:
         ]
         return [tuple(r) for r in df.orderBy("__seq").select(*cols).collect()]
 
+    # -- streaming execution --------------------------------------------------
+
+    def run_streaming(
+        self,
+        target: str,
+        watermark: str = "10 seconds",
+        n_chunks: int = 3,
+    ) -> list[tuple]:
+        """Execute the single query targeting ``target`` as a REAL
+        Structured Streaming job: sent rows feed a chunked file stream (plus
+        a far-future flush sentinel), the query runs with watermarks, output
+        drains from a memory sink.
+
+        Supported shapes: row-level filter/projection, windowed aggregation
+        (tumbling/sliding/session + GROUP BY), single-stream patterns.
+        ≙ the reference's actual runtime mode (runtime.start() + sources,
+        eventflux_app_runtime.rs:674) — the batch ``run()`` is its replay
+        twin; parity between the two is pytest-asserted.
+        """
+        import os
+        import shutil
+        import tempfile
+
+        qs = [q for q in self.queries if q.target == target]
+        if len(qs) != 1:
+            raise ValueError("run_streaming supports exactly one query per target")
+        q = qs[0]
+        source = q.pattern.steps[0].stream if q.pattern else q.source
+        if q.pattern and len({s.stream for s in q.pattern.steps}) > 1:
+            raise ValueError("run_streaming patterns must use a single stream")
+
+        sd = self.streams[source]
+        base = self._base_df(source).toPandas()
+        # type-correct neutral values: the sentinel only advances the
+        # watermark; it is excluded from results by __seq >= 10^9 (row-level/
+        # pattern) or by its never-closing far-future window (aggregates)
+        defaults = {"string": None, "int": 0, "bigint": 0, "float": 0.0,
+                    "double": 0.0, "boolean": False,
+                    "timestamp": _EPOCH}
+        sentinel_vals = {c: defaults.get(t) for c, t in sd.columns}
+        sentinel = pd.DataFrame(
+            [{**sentinel_vals, "__seq": 10**9,
+              "__ts": _EPOCH + datetime.timedelta(days=3650)}]
+        )
+        feed_dir = tempfile.mkdtemp(prefix="efs_sqlstream_")
+        try:
+            if len(base) == 0:
+                raise ValueError("run_streaming needs at least one sent event")
+            chunks = max(1, min(n_chunks, len(base)))
+            bounds = [round(i * len(base) / chunks) for i in range(chunks + 1)]
+            parts = [base.iloc[bounds[i]: bounds[i + 1]] for i in range(chunks)]
+            # merge the sentinel into the last chunk so pandas keeps the real
+            # rows' column dtypes (a lone all-default chunk mis-infers types),
+            # then restore exact dtypes (concat promotes int32 → int64)
+            parts[-1] = pd.concat([parts[-1], sentinel], ignore_index=True).astype(
+                base.dtypes.to_dict()
+            )
+            for i, c in enumerate(parts):
+                c.to_parquet(
+                    os.path.join(feed_dir, f"c{i:03d}.parquet"), index=False,
+                    coerce_timestamps="us", allow_truncated_timestamps=True,
+                )
+            schema = self._base_df(source).schema
+            stream = (
+                self.spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed_dir)
+            )
+
+            name = f"__sqlstream_{target.lower()}"
+            is_agg = bool(q.group_by) or any(
+                _AGG_RE.search(e) for e, _ in q.select_items
+            )
+            if q.pattern is not None:
+                out = self._compile_pattern_stream(q, stream, watermark)
+                mode = "update" if False else "append"
+            elif q.window is not None and is_agg:
+                from ..streaming import pipelines as P
+
+                w = q.window
+                aggs = [
+                    F.expr(e).alias(a) if a else F.expr(e)
+                    for e, a in q.select_items
+                    if _AGG_RE.search(e)
+                ]
+                keys = [g.strip() for g in (q.group_by or "").split(",") if g.strip()]
+                if q.where:
+                    stream = stream.filter(F.expr(q.where))
+                if w.kind == "tumbling":
+                    out = P.tumbling_stream(
+                        stream, f"{w.params[0]} milliseconds", keys, aggs,
+                        ts_col="__ts", watermark=watermark,
+                    )
+                elif w.kind == "sliding":
+                    out = P.sliding_stream(
+                        stream, f"{w.params[0]} milliseconds",
+                        f"{w.params[1]} milliseconds", keys, aggs,
+                        ts_col="__ts", watermark=watermark,
+                    )
+                elif w.kind == "session":
+                    out = P.session_stream(
+                        stream, f"{w.params[0]} milliseconds", keys, aggs,
+                        ts_col="__ts", watermark=watermark,
+                    )
+                else:
+                    raise ValueError(f"streaming WINDOW('{w.kind}') unsupported")
+                out = out.select(*(keys + [a for a in
+                    [c for c in out.columns if c not in keys
+                     and not c.startswith(("window_", "session_", "__"))]]))
+                mode = "append"
+            elif not is_agg:
+                out = stream
+                if q.where:
+                    out = out.filter(F.expr(q.where))
+                out = out.selectExpr(
+                    *[f"{e} AS {a}" if a else e for e, a in q.select_items], "__seq"
+                )
+                mode = "append"
+            else:
+                raise ValueError("unsupported streaming query shape")
+
+            qh = (
+                out.writeStream.format("memory").queryName(name)
+                .outputMode(mode).start()
+            )
+            qh.processAllAvailable()
+            qh.stop()
+            res = self.spark.sql(f"SELECT * FROM {name}")
+            # drop sentinel artifacts (null-keyed rows / sentinel seq)
+            if "__seq" in res.columns:
+                res = res.filter(F.col("__seq") < 10**9).orderBy("__seq").drop("__seq")
+            else:
+                first_out = res.columns[0]
+                res = res.filter(F.col(first_out).isNotNull()).orderBy(*res.columns)
+            return [tuple(r) for r in res.collect()]
+        finally:
+            shutil.rmtree(feed_dir, ignore_errors=True)
+
+    def _compile_pattern_stream(self, q: QueryDef, stream, watermark: str):
+        from ..cep.streaming import match_pattern_stream
+
+        p = q.pattern
+        df = stream.withColumn("conv_id", F.lit("__global__")).withColumn(
+            "turn_idx", F.col("__seq").cast("int")
+        ).withColumn("ts", F.col("__ts"))
+        steps = []
+        referenced: dict[str, set] = {s.alias: set() for s in p.steps}
+        select_plan = []
+        stream_to_alias = {}
+        for s in p.steps:
+            stream_to_alias.setdefault(s.stream, s.alias)
+        for expr, alias in q.select_items:
+            rm = re.fullmatch(r"(\w+)\.(\w+)", expr.strip())
+            a = rm.group(1) if rm.group(1) in referenced else stream_to_alias[rm.group(1)]
+            referenced[a].add(rm.group(2))
+            select_plan.append((a, rm.group(2), alias or rm.group(2)))
+        for sdef in p.steps:
+            flag = f"__is_{sdef.alias}"
+            cond = F.lit(True) if not sdef.condition else F.expr(sdef.condition)
+            df = df.withColumn(flag, cond & F.col("__seq").isNotNull() & (F.col("__seq") < 10**9))
+            steps.append(
+                Step(sdef.alias, flag, sdef.min_count, sdef.max_count,
+                     emit=tuple(sorted(referenced[sdef.alias])))
+            )
+        spec = PatternSpec(
+            steps=tuple(steps),
+            within=pd.Timedelta(milliseconds=p.within_ms) if p.within_ms else None,
+            every=p.every,
+        )
+        m = match_pattern_stream(df, spec, watermark_delay=watermark)
+        last = spec.steps[-1].name
+        return m.select(
+            *[F.col(f"{a}_{c}").alias(o) for a, c, o in select_plan],
+            F.col(f"{last}_turn_idx").cast("bigint").alias("__seq"),
+        )
+
     # -- query compilation ----------------------------------------------------
 
     def _run_query(self, q: QueryDef, stack: frozenset) -> DataFrame:

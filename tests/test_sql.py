@@ -432,3 +432,52 @@ class TestTableDML:
         app.send("In", [(1, "a"), (2, "b")])
         app.send("Probe", [(2,), (3,)])
         assert app.run("Out") == [(2, "b")]
+
+
+class TestStreamingExecution:
+    """run_streaming: the same SQL app as a REAL Structured Streaming job
+    (file feed, watermarks, memory sink) — results must equal batch run()."""
+
+    def test_streaming_filter_matches_batch(self, spark):
+        sql = """
+            CREATE STREAM S (sym VARCHAR, price DOUBLE);
+            CREATE STREAM Out (sym VARCHAR, price DOUBLE);
+            INSERT INTO Out SELECT sym, price FROM S WHERE price > 10;
+        """
+        rows = [("a", 5.0), ("b", 30.0), ("c", 50.0), ("d", 7.0), ("e", 20.0)]
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("S", rows)
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("S", rows)
+        assert app1.run_streaming("Out") == app2.run("Out")
+
+    def test_streaming_tumbling_agg_matches_batch(self, spark):
+        sql = """
+            CREATE STREAM S (sym VARCHAR, price DOUBLE);
+            CREATE STREAM Out (sym VARCHAR, total DOUBLE);
+            INSERT INTO Out
+            SELECT sym, SUM(price) AS total
+            FROM S WINDOW('tumbling', 5 SECONDS) GROUP BY sym;
+        """
+        rows = [("A", 1.0), ("A", 2.0), ("B", 10.0), ("A", 4.0), ("B", 20.0),
+                ("A", 100.0), ("B", 200.0)]
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("S", rows)
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("S", rows)
+        assert sorted(app1.run_streaming("Out")) == sorted(app2.run("Out"))
+
+    def test_streaming_pattern_matches_batch(self, spark):
+        sql = """
+            CREATE STREAM T (price INT);
+            CREATE STREAM Out (p1 INT, p2 INT);
+            INSERT INTO Out
+            SELECT e1.price AS p1, e2.price AS p2
+            FROM PATTERN (EVERY (e1=T[price > 100] -> e2=T[price < 50]));
+        """
+        rows = [(150,), (30,), (200,), (20,), (99,)]
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("T", rows)
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("T", rows)
+        assert sorted(app1.run_streaming("Out")) == sorted(app2.run("Out"))
