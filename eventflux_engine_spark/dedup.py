@@ -167,18 +167,50 @@ shingles AS (
 """
 
 
+# one md5 digest yields four independent 32-bit hashes (hex slices 1-8,
+# 9-16, 17-24, 25-32) → N_HASHES functions need only N_HASHES/4 digests.
+# Both engines derive the slices from the same digest, so the oracle stays
+# bit-exact while the dominant md5 cost drops 4x.
+_SLICES = [1, 9, 17, 25]
+
+
+def _mh_exprs_spark(col: Column, n_hashes: int) -> list[Column]:
+    out = []
+    for seed in range((n_hashes + 3) // 4):
+        digest = F.md5(F.concat(F.lit(f"s{seed}:"), col))
+        for sl in _SLICES:
+            if len(out) == n_hashes:
+                break
+            out.append(
+                F.conv(F.substring(digest, sl, 8), 16, 10).cast("bigint")
+            )
+    return out
+
+
+def _mh_exprs_sql(col_sql: str, n_hashes: int) -> list[str]:
+    out = []
+    for seed in range((n_hashes + 3) // 4):
+        digest = f"md5('s{seed}:' || {col_sql})"
+        for sl in _SLICES:
+            if len(out) == n_hashes:
+                break
+            out.append(f"cast('0x' || substr({digest}, {sl}, 8) AS BIGINT)")
+    return out
+
+
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """MinHash signature: per doc, min of each seeded hash over its shingles.
     One hash agg on doc_id — the explode never leaves the partition."""
     aggs = [
-        F.min(hash32(F.col("shingle"), i)).alias(f"mh{i}") for i in range(n_hashes)
+        F.min(h).alias(f"mh{i}")
+        for i, h in enumerate(_mh_exprs_spark(F.col("shingle"), n_hashes))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_sql(n_hashes: int = N_HASHES) -> str:
     mins = ",\n         ".join(
-        f"min({hash32_sql('shingle', i)}) AS mh{i}" for i in range(n_hashes)
+        f"min({h}) AS mh{i}" for i, h in enumerate(_mh_exprs_sql("shingle", n_hashes))
     )
     return f"""
 signatures AS (
