@@ -204,6 +204,45 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ivf_cells",
+    f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % 50 = 0
+    ), assigned AS (
+      SELECT e.vec_id, c.c_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {SIM.qcosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+             ) AS rnk
+      FROM embeddings e JOIN centroids c ON true
+    )
+    SELECT c_id AS cell, count(*) AS n_vectors
+    FROM assigned WHERE rnk = 1 GROUP BY c_id
+    """,
+    doc="IVF coarse quantization: assign every vector to its nearest "
+    "centroid cell (quantized cosine, deterministic ties) — the "
+    "inverted-file ANN scale path: queries search only their cell "
+    "(+neighbors), turning brute force into a per-cell problem",
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    w = Window.partitionBy("vec_id").orderBy(
+        SIM.qcosine(F.col("embedding"), F.col("c_emb")).desc(), F.col("c_id")
+    )
+    assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    return assigned.groupBy(F.col("c_id").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
