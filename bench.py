@@ -117,13 +117,13 @@ def main() -> None:
     tb = tb.withColumn("is_user", F.col("role") == "user").withColumn(
         "is_assistant", F.col("role") == "assistant"
     )
-    fused_transcript_pipeline(tb, spec).groupBy().count().collect()  # warm
+    fused_transcript_pipeline(tb, spec, input_sorted=True).groupBy().count().collect()  # warm
     tb2 = synth_transcripts_bucketed(spark, CEP_TURNS + 200, 200, partitions=cores * 4)
     tb2 = tb2.withColumn("is_user", F.col("role") == "user").withColumn(
         "is_assistant", F.col("role") == "assistant"
     )
     t0 = time.time()
-    fused_transcript_pipeline(tb2, spec).groupBy().count().collect()
+    fused_transcript_pipeline(tb2, spec, input_sorted=True).groupBy().count().collect()
     fused_s = time.time() - t0
     timings["cep_fused_bucketed"] = round(fused_s, 3)
 

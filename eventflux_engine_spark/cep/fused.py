@@ -49,7 +49,10 @@ def _process_block(
         (pdf["tool"].to_numpy() != "").astype(np.int64), starts
     )
 
-    # sessions: new session at conv start or gap > gap_s
+    # sessions: new session at conv start or gap > gap_s. Boundary semantics
+    # verified empirically against F.session_window (test_fused boundary
+    # test): an event arriving EXACTLY gap_s after the previous one EXTENDS
+    # the session in Spark (inclusive merge), so strict > is the parity rule.
     new_conv = np.r_[True, codes[1:] != codes[:-1]]
     gap = np.r_[0, ts_s[1:] - ts_s[:-1]]
     new_session = new_conv | (gap > gap_s)
@@ -84,11 +87,16 @@ def fused_transcript_pipeline(
     spec: PatternSpec,
     session_gap_s: int = 1800,
     window_s: int = 300,
-    input_sorted: bool = True,
+    input_sorted: bool = False,
 ) -> DataFrame:
     """Per-conversation CEP rollup: one row per conv with turn count,
     pattern-match count, session count, non-empty tumbling-window count and
-    tool-call count. ``input_sorted`` as in :func:`match_pattern_batch`."""
+    tool-call count. ``input_sorted`` as in :func:`match_pattern_batch` —
+    default False (repartition+sort) because a plain ``spark.read`` of even
+    bucketed storage can split a key's files across tasks; pass True only
+    for input that comes through ``read_bucket_sorted`` /
+    ``synth_transcripts_bucketed``, which guarantee per-partition key
+    integrity and sort order."""
     assert spec.is_linear, "fused pipeline supports linear patterns"
     needed = sorted(
         {spec.key_col, "turn_idx", spec.ts_col, "tool", *spec.order_cols}

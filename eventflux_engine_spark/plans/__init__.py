@@ -4,5 +4,6 @@
 from .registry import QUERIES, QuerySpec, oracle_sql_map, queries_map
 from . import registry_data  # noqa: F401 — registers documents/embeddings queries
 from . import registry_ext  # noqa: F401 — outer joins, rollups, CEP extras, multimodal
+from . import registry_dml  # noqa: F401 — stream-driven table DML merge forms
 
 __all__ = ["QUERIES", "QuerySpec", "queries_map", "oracle_sql_map"]

@@ -106,26 +106,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     f"""
     WITH {SIM.AUG_EMBEDDINGS_CTE.strip()}
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({SIM.qcosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
-    FROM embeddings_aug a JOIN embeddings_aug b ON a.vec_id < b.vec_id
-    WHERE {SIM.qcosine_sql('a.embedding', 'b.embedding')} >= 0.99
+    {SIM.embedding_near_dup_lsh_sql()}
     """,
     doc="embedding-cosine near-dup pairs (cos>=0.99) over the augmented "
-    "corpus via quantized-integer cosine (bit-identical across engines); "
-    "brute force at test scale, LSH-bucketed at 100TB",
+    "corpus via BANDED hyperplane LSH: candidate generation is an equi-join "
+    "on (band, quantized bucket) — no cartesian at any scale — and exact "
+    "quantized-integer cosine verifies only the candidates. The gated plan "
+    "IS the 100 TB plan (tests assert no CartesianProduct/BNLJ).",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = SIM.augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = SIM.qcosine(F.col("ea"), F.col("eb"))
-    return (
-        joined.withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.99)
-        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
-    )
+    return SIM.embedding_near_dup_lsh(emb, threshold=0.99)
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +200,7 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH centroids AS (
       SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-      WHERE vec_id % 50 = 0
+      WHERE vec_id % 50 = 0 AND vec_id < 2000
     ), assigned AS (
       SELECT e.vec_id, c.c_id,
              row_number() OVER (
@@ -222,13 +213,15 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM assigned WHERE rnk = 1 GROUP BY c_id
     """,
     doc="IVF coarse quantization: assign every vector to its nearest "
-    "centroid cell (quantized cosine, deterministic ties) — the "
-    "inverted-file ANN scale path: queries search only their cell "
-    "(+neighbors), turning brute force into a per-cell problem",
+    "centroid in a FIXED-size codebook (<=40 centroids regardless of corpus "
+    "size — broadcast, O(N*k) assignment exactly as real IVF trains k<<N "
+    "centroids) with quantized cosine + deterministic ties; queries then "
+    "search only their cell (+neighbors), turning brute force into a "
+    "per-cell problem",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+    cents = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
     scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))

@@ -41,6 +41,9 @@ __all__ = [
     "hyperplanes",
     "lsh_bucket",
     "lsh_bucket_sql",
+    "qlsh_bucket",
+    "qlsh_bucket_sql",
+    "embedding_near_dup_lsh",
     "knn_batch_pandas",
 ]
 
@@ -214,6 +217,121 @@ def lsh_bucket_sql(emb_sql: str, n: int = N_HYPERPLANES, dim: int = DIM) -> str:
             f" THEN {1 << j} ELSE 0 END)"
         )
     return "cast(" + " + ".join(terms) + " AS INTEGER)"
+
+
+# -- quantized LSH: bit-identical bucket bits across engines -------------------
+# The float lsh_bucket above folds doubles in engine-specific order; a dot
+# product that lands near 0 could sign-flip between Spark and DuckDB. For
+# ORACLE-GATED bucketing we quantize both the embedding components and the
+# hyperplane components to integers (floor(x·10⁴)) — the per-plane dot is an
+# exact bigint in both engines, so the sign bits (and hence every bucket id)
+# are guaranteed identical.
+
+
+def _qplane(plane: list[float]) -> list[int]:
+    return [int(math.floor(v * Q_SCALE)) for v in plane]
+
+
+def qlsh_bucket(
+    emb_col: Column, plane_ids: tuple[int, ...], dim: int = DIM
+) -> Column:
+    """Bucket id from the given hyperplane subset (a band), via exact
+    integer dot products."""
+    planes = hyperplanes(max(plane_ids) + 1, dim)
+    bucket = F.lit(0)
+    for k, j in enumerate(plane_ids):
+        arr = F.array(*[F.lit(v).cast("bigint") for v in _qplane(planes[j])])
+        d = F.aggregate(
+            F.zip_with(emb_col, arr, lambda x, p: _quant(x) * p),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def qlsh_bucket_sql(
+    emb_sql: str, plane_ids: tuple[int, ...], dim: int = DIM
+) -> str:
+    planes = hyperplanes(max(plane_ids) + 1, dim)
+    terms = []
+    for k, j in enumerate(plane_ids):
+        arr = "[" + ", ".join(str(v) for v in _qplane(planes[j])) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, len({emb_sql})), "
+            f"i -> cast(floor(cast({emb_sql}[i] AS DOUBLE) * {Q_SCALE}) AS BIGINT)"
+            f" * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << k} ELSE 0 END)")
+    return "cast(" + " + ".join(terms) + " AS INTEGER)"
+
+
+NEAR_DUP_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2, 3), (4, 5, 6, 7))
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    bands: tuple[tuple[int, ...], ...] = NEAR_DUP_BANDS,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH — the 100 TB
+    plan: candidate generation is an EQUI-join on (band, bucket) (never a
+    cartesian); exact quantized cosine verifies only the candidates.
+
+    Two 4-plane bands: a pair is a candidate if it agrees on either band —
+    recall ≈ 1-(1-p⁴)² (~0.99 at cos 0.995) while each band keeps buckets
+    small. A pair found by both bands is scored twice and collapsed by the
+    final DISTINCT on (pair, rounded cosine) — bounded 2× duplication beats
+    re-joining embeddings onto a deduped pair list.
+    """
+    banded = None
+    for bi, plane_ids in enumerate(bands):
+        part = emb.select(
+            F.lit(bi).alias("band"),
+            qlsh_bucket(F.col("embedding"), plane_ids).alias("bkey"),
+            "vec_id",
+            "embedding",
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(
+        "band", "bkey", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = banded.select(
+        "band", "bkey", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cand = a.join(b, ["band", "bkey"]).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        cand.withColumn("cos_raw", qcosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+        .distinct()
+    )
+
+
+def embedding_near_dup_lsh_sql(
+    emb_cte: str = "embeddings_aug",
+    threshold: float = 0.99,
+    bands: tuple[tuple[int, ...], ...] = NEAR_DUP_BANDS,
+) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_lsh` (same bands, same
+    quantized buckets, same quantized cosine)."""
+    selects = [
+        f"SELECT {bi} AS band, {qlsh_bucket_sql('embedding', plane_ids)} AS bkey,"
+        f" vec_id, embedding FROM {emb_cte}"
+        for bi, plane_ids in enumerate(bands)
+    ]
+    banded = "\nUNION ALL\n".join(selects)
+    qcos = qcosine_sql("a.embedding", "b.embedding")
+    return f"""
+    , banded AS (
+      {banded}
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({qcos}, 4) AS cos_sim
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    WHERE {qcos} >= {threshold}
+    """
 
 
 # -- Arrow-batched numpy kNN (bench hot path) -----------------------------------

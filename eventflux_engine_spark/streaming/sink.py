@@ -1,4 +1,5 @@
-"""Exactly-once ``foreachBatch`` sink with per-partition lineage + metrics.
+"""Exactly-once ``foreachBatch`` sink with per-partition lineage, metrics and
+a DLQ (dead-letter) side channel.
 
 ``foreachBatch`` is at-least-once on retry; exactly-once is achieved the way
 an Iceberg/Delta MERGE sink does it — idempotent, transactional commits keyed
@@ -11,10 +12,19 @@ by epoch id:
    visible partial output;
 3. a replayed epoch whose marker already exists is skipped entirely.
 
-The commit marker carries lineage + metrics per north_rule: per-partition row
-counts, input watermark, wall-clock duration. In production the same
+The commit marker carries lineage + metrics per north_rule: per-FILE row
+counts read from the written parquet footers (pyarrow metadata) AFTER the
+write, so lineage describes exactly the committed data — the batch plan
+executes ONCE; there is no pre-write counting action. In production the same
 structure is an Iceberg snapshot summary; here it is a parquet-dir + JSON
 commit log (no Iceberg jars in this sandbox — the protocol is identical).
+
+DLQ (≙ reference ``src/core/error/dlq.rs:19-76`` + ``handler.rs`` error
+routing): a sink constructed with ``dlq_condition`` quarantines matching
+rows to ``_dlq/epoch=N`` instead of dropping or failing on them; the commit
+marker records ``dlq_rows`` so lineage conserves the batch (rows + dlq_rows
+== input rows). The batch is persisted across the two writes, so the
+upstream plan still executes once.
 
 ≙ reference UPSERT/table-DML path (``upsert_table_processor.rs:19``) and the
 snapshot-persistence contract (``src/core/persistence/snapshot_service.rs``)
@@ -27,15 +37,30 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+import pyarrow.parquet as pq
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _footer_lineage(data_dir: str) -> list[dict]:
+    """Per-file row counts from the written parquet footers (metadata-only
+    reads — no data scan, no second job)."""
+    out = []
+    for i, fname in enumerate(sorted(os.listdir(data_dir))):
+        if not fname.endswith(".parquet"):
+            continue
+        n = pq.ParquetFile(os.path.join(data_dir, fname)).metadata.num_rows
+        out.append({"partition_id": i, "file": fname, "rows": int(n)})
+    return out
+
+
 class ExactlyOnceParquetSink:
-    def __init__(self, table_dir: str):
+    def __init__(self, table_dir: str, dlq_condition: "Column | str | None" = None):
         self.table_dir = table_dir
         self.data_dir = os.path.join(table_dir, "data")
         self.commit_dir = os.path.join(table_dir, "_commits")
+        self.dlq_dir = os.path.join(table_dir, "_dlq")
+        self.dlq_condition = dlq_condition
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.commit_dir, exist_ok=True)
 
@@ -52,20 +77,31 @@ class ExactlyOnceParquetSink:
             return  # replayed epoch — exactly-once guard
         t0 = time.time()
         epoch_dir = os.path.join(self.data_dir, f"epoch={epoch_id}")
-        # lineage: rows per task partition of this epoch
-        lineage_rows = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
-        df.write.mode("overwrite").parquet(epoch_dir)
+        dlq_lineage: list[dict] = []
+        if self.dlq_condition is not None:
+            bad = (
+                F.expr(self.dlq_condition)
+                if isinstance(self.dlq_condition, str)
+                else self.dlq_condition
+            )
+            dlq_epoch_dir = os.path.join(self.dlq_dir, f"epoch={epoch_id}")
+            # persist so the two filtered writes share ONE upstream compute
+            df = df.persist()
+            try:
+                df.filter(~bad).write.mode("overwrite").parquet(epoch_dir)
+                df.filter(bad).write.mode("overwrite").parquet(dlq_epoch_dir)
+                dlq_lineage = _footer_lineage(dlq_epoch_dir)
+            finally:
+                df.unpersist()
+        else:
+            df.write.mode("overwrite").parquet(epoch_dir)
+        # lineage AFTER the write, from the committed files' own footers
+        lineage = _footer_lineage(epoch_dir)
         commit = {
             "epoch_id": epoch_id,
-            "rows": int(sum(r["rows"] for r in lineage_rows)),
-            "partitions": [
-                {"partition_id": int(r["partition_id"]), "rows": int(r["rows"])}
-                for r in sorted(lineage_rows, key=lambda r: r["partition_id"])
-            ],
+            "rows": sum(p["rows"] for p in lineage),
+            "partitions": lineage,
+            "dlq_rows": sum(p["rows"] for p in dlq_lineage),
             "duration_s": round(time.time() - t0, 3),
             "committed_at": time.time(),
         }
@@ -101,10 +137,22 @@ class ExactlyOnceParquetSink:
             raise ValueError(f"no committed epochs in {self.table_dir}")
         return spark.read.parquet(*paths)
 
+    def read_dlq(self, spark: SparkSession) -> DataFrame:
+        """Quarantined rows of committed epochs (the dead-letter channel)."""
+        paths = [
+            os.path.join(self.dlq_dir, f"epoch={e}")
+            for e in self.committed_epochs()
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            raise ValueError(f"no committed DLQ epochs in {self.table_dir}")
+        return spark.read.parquet(*paths)
+
     def metrics(self) -> dict:
         cs = self.commits()
         return {
             "epochs": len(cs),
             "total_rows": sum(c["rows"] for c in cs),
+            "total_dlq_rows": sum(c.get("dlq_rows", 0) for c in cs),
             "total_duration_s": round(sum(c["duration_s"] for c in cs), 3),
         }

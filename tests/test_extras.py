@@ -140,3 +140,46 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             resize_images(assets, 64, 64)
+
+
+class TestEmbeddingNearDupLSH:
+    """The GATED embedding near-dup plan must be the scale plan: equi-join
+    on (band, bucket), never a cartesian (VERDICT r1 weak item #1)."""
+
+    def test_plan_has_no_cartesian(self, spark):
+        from eventflux_engine_spark.similarity import (
+            augmented_embeddings,
+            embedding_near_dup_lsh,
+        )
+
+        emb = augmented_embeddings(
+            spark.read.parquet(f"{SF}/embeddings.parquet")
+        )
+        out = embedding_near_dup_lsh(emb)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_recall_vs_bruteforce(self, spark):
+        from eventflux_engine_spark.similarity import (
+            augmented_embeddings,
+            embedding_near_dup_lsh,
+            qcosine,
+        )
+
+        emb = augmented_embeddings(spark.read.parquet(f"{SF}/embeddings.parquet"))
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_near_dup_lsh(emb, 0.99).collect()
+        }
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        truth = {
+            (r["vec_a"], r["vec_b"])
+            for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .filter(qcosine(F.col("ea"), F.col("eb")) >= 0.99)
+            .collect()
+        }
+        assert got <= truth  # no false positives (cosine-verified)
+        assert len(got) >= 0.9 * len(truth)  # banded-LSH recall
+        assert len(truth) > 0

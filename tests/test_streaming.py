@@ -153,6 +153,40 @@ class TestExactlyOnceSink:
         for c in sink.commits():
             assert c["partitions"] and sum(p["rows"] for p in c["partitions"]) == c["rows"]
 
+    def test_lineage_matches_written_files(self, spark, tmpdir):
+        """Commit-marker lineage is derived from the WRITTEN parquet footers
+        (post-write), so it describes the committed data exactly and the
+        batch plan executes once (no pre-write counting action)."""
+        t = transcripts_df(spark, SF).limit(64).repartition(4)
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        sink.write_batch(t, 0)
+        (c,) = sink.commits()
+        epoch_dir = os.path.join(tmpdir, "table/data/epoch=0")
+        files = sorted(f for f in os.listdir(epoch_dir) if f.endswith(".parquet"))
+        assert [p["file"] for p in c["partitions"]] == files
+        assert c["rows"] == 64 and sum(p["rows"] for p in c["partitions"]) == 64
+
+    def test_dlq_quarantines_poison_rows(self, spark, tmpdir):
+        """DLQ side channel (≙ dlq.rs:19-76): rows matching the condition are
+        quarantined, not dropped — lineage conserves the batch."""
+        t = transcripts_df(spark, SF).limit(100)
+        poisoned = t.withColumn(
+            "text", F.when(F.col("turn_idx") == 0, F.lit(None)).otherwise(F.col("text"))
+        )
+        n_bad = poisoned.filter(F.col("text").isNull()).count()
+        assert n_bad > 0
+        sink = ExactlyOnceParquetSink(
+            os.path.join(tmpdir, "table"), dlq_condition="text IS NULL"
+        )
+        sink.write_batch(poisoned, 0)
+        assert sink.read(spark).filter(F.col("text").isNull()).count() == 0
+        assert sink.read(spark).count() == 100 - n_bad
+        assert sink.read_dlq(spark).count() == n_bad
+        (c,) = sink.commits()
+        assert c["dlq_rows"] == n_bad
+        assert c["rows"] + c["dlq_rows"] == 100  # conservation
+        assert sink.metrics()["total_dlq_rows"] == n_bad
+
     def test_uncommitted_epoch_invisible(self, spark, tmpdir):
         t = transcripts_df(spark, SF).limit(50)
         sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))

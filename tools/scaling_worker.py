@@ -69,7 +69,9 @@ def main() -> None:
         )
 
     jobs = {
-        "cep_fused_pipeline": lambda s: fused_transcript_pipeline(flagged(s), spec)
+        "cep_fused_pipeline": lambda s: fused_transcript_pipeline(
+            flagged(s), spec, input_sorted=True
+        )
         .groupBy()
         .sum("n_matches", "n_sessions", "n_windows")
         .collect(),
