@@ -152,6 +152,122 @@ def q_incremental_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "output_first_every_time",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx, role FROM (
+          SELECT conv_id, turn_idx, role,
+                 row_number() OVER (
+                   PARTITION BY conv_id,
+                                cast(floor(epoch(ts) * 1000 / 21600000) AS BIGINT)
+                   ORDER BY ts, turn_idx) AS rn
+          FROM transcripts
+        ) WHERE rn = 1
+        """
+    ),
+    doc="OUTPUT FIRST EVERY 6 HOURS per conversation "
+    "(time_output_rate.rs:9-17, converter.rs:406-412): one event per d-wide "
+    "event-time bucket — the wall-clock emission timer restated on event "
+    "time (SURVEY §7.4), a single row_number window per (key, bucket)",
+)
+def q_output_first_every_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    out = OUT.output_every_time(
+        t, 6 * 3600 * 1000, "FIRST", "ts", ["conv_id"], ["ts", "turn_idx"]
+    )
+    return out.select("conv_id", "turn_idx", "role")
+
+
+@register(
+    "output_snapshot_agg",
+    with_transcript_views(
+        """
+        SELECT cast(floor(epoch(tick)) AS BIGINT) AS tick_epoch, role,
+               count(*) AS n_turns
+        FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-31',
+                                            INTERVAL 7 DAY)) AS tick) ticks
+        JOIN transcripts t ON t.ts <= ticks.tick
+        WHERE tick > TIMESTAMP '2024-01-01'
+        GROUP BY 1, 2
+        """
+    ),
+    doc="OUTPUT SNAPSHOT EVERY 7 DAYS (snapshot_output_rate.rs): the FULL "
+    "current per-role aggregate emitted at every tick — per-tick cumulative "
+    "aggregates via a broadcast tick spine (ticks are few by construction; "
+    "at scale the same statement compiles to a cumulative window over "
+    "pre-bucketed partials)",
+)
+def q_output_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    out = OUT.output_snapshot_agg(
+        t,
+        7 * 86400 * 1000,
+        "ts",
+        ["role"],
+        [F.count(F.lit(1)).alias("n_turns")],
+        "2024-01-01 00:00:00",
+        "2024-01-31 00:00:00",
+    )
+    return out.select(
+        F.floor(epoch_seconds("tick")).cast("bigint").alias("tick_epoch"),
+        "role",
+        "n_turns",
+    )
+
+
+@register(
+    "incremental_agg_within_per",
+    with_transcript_views(
+        """
+        SELECT role,
+               cast(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
+               count(*) AS n,
+               cast(sum(length(text)) AS BIGINT) AS total_len,
+               round(avg(length(text)), 4) AS avg_len,
+               max(length(text)) AS max_len
+        FROM transcripts
+        WHERE date_trunc('hour', ts) >= TIMESTAMP '2024-01-03 00:00:00'
+          AND date_trunc('hour', ts) <  TIMESTAMP '2024-01-06 00:00:00'
+        GROUP BY 1, 2
+        """
+    ),
+    doc="AGGREGATE EVERY MINUTES,HOURS,DAYS cascade queried WITHIN a time "
+    "range PER 'hours' (query_aggregation, eventflux_app_runtime.rs:982; "
+    "incremental_executor.rs:14): the hour level is re-aggregated from "
+    "minute PARTIALS (sum+count for avg — algebraic rollup, raw data read "
+    "once); the oracle recomputes the same answer directly from raw rows. "
+    "Exceeds the reference, whose runtime ignores WITHIN "
+    "(aggregation_runtime.rs:61).",
+)
+def q_incremental_within_per(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import IncrementalAggregation
+
+    t = transcripts_df(spark, sf_dir).withColumn("text_len", F.length("text"))
+    inc = IncrementalAggregation(
+        t,
+        "ts",
+        ["role"],
+        {
+            "n": ("count", "*"),
+            "total_len": ("sum", "text_len"),
+            "avg_len": ("avg", "text_len"),
+            "max_len": ("max", "text_len"),
+        },
+        ["MINUTES", "HOURS", "DAYS"],
+    )
+    out = inc.query("HOURS", within=("2024-01-03 00:00:00", "2024-01-06 00:00:00"))
+    return out.select(
+        "role",
+        F.floor(epoch_seconds("bucket_start")).cast("bigint").alias("bucket_epoch"),
+        "n",
+        F.col("total_len").cast("bigint").alias("total_len"),
+        F.round("avg_len", 4).alias("avg_len"),
+        "max_len",
+    )
+
+
+@register(
     "heavy_hitters",
     with_transcript_views(
         """

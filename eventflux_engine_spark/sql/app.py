@@ -30,12 +30,18 @@ from pyspark.sql import functions as F
 
 from ..cep import PatternSpec, Step, match_pattern_batch
 from .compiler import (
+    AggregationDef,
+    DmlDef,
     PatternDef,
     QueryDef,
     StreamDef,
+    parse_aggregation,
     parse_create,
+    parse_delete,
     parse_insert,
     parse_trigger,
+    parse_update,
+    parse_upsert,
     split_statements,
 )
 
@@ -52,7 +58,11 @@ class EventFluxApp:
         self.spark = spark
         self.streams: dict[str, StreamDef] = {}
         self.queries: list[QueryDef] = []
+        self.dml: list[DmlDef] = []
+        self.aggregations: dict[str, AggregationDef] = {}
         self._rows: dict[str, list[tuple]] = {}
+        #: final table states after DML replay / on-demand mutation
+        self._table_final: dict[str, list[dict]] = {}
         self._seq = 0
 
     # -- DDL / DML registration ------------------------------------------
@@ -90,6 +100,11 @@ class EventFluxApp:
                 d = parse_trigger(stmt)
                 self.streams[d.name] = d
                 self._rows.setdefault(d.name, [])
+            elif head == "CREATE" and re.match(
+                r"CREATE\s+AGGREGATION", stmt, re.IGNORECASE
+            ):
+                a = parse_aggregation(stmt)
+                self.aggregations[a.name] = a
             elif head == "CREATE":
                 d = parse_create(stmt)
                 self.streams[d.name] = d
@@ -102,8 +117,17 @@ class EventFluxApp:
                     # (GRAMMAR.md "Dynamic Output Streams")
                     self.streams[q.target] = StreamDef(q.target, [])
                     self._rows.setdefault(q.target, [])
+            elif head == "UPDATE":
+                self.dml.append(parse_update(stmt))
+            elif head == "DELETE":
+                self.dml.append(parse_delete(stmt))
+            elif head == "UPSERT":
+                self.dml.append(parse_upsert(stmt))
             else:
                 raise ValueError(f"unsupported statement: {stmt[:60]}")
+        for d in self.dml:
+            if d.table not in self.streams or not self.streams[d.table].is_table:
+                raise ValueError(f"{d.kind.upper()} target {d.table} is not a TABLE")
         return self
 
     # -- data ingestion ----------------------------------------------------
@@ -144,15 +168,261 @@ class EventFluxApp:
         return self.spark.createDataFrame(rows, schema)
 
     def stream_df(self, name: str, _stack: frozenset = frozenset()) -> DataFrame:
-        """Materialize a stream: sent rows + every query targeting it."""
+        """Materialize a stream: sent rows + every query targeting it.
+        A TABLE with DML statements materializes as its final replayed
+        state (mutations applied in arrival order)."""
         if name in _stack:
             raise ValueError(f"cyclic stream dependency through {name}")
+        if self.streams[name].is_table and (
+            name in self._table_final or any(d.table == name for d in self.dml)
+        ):
+            return self._table_df(name, _stack)
         df = self._base_df(name)
         for q in self.queries:
             if q.target == name:
                 out = self._run_query(q, _stack | {name})
                 df = df.unionByName(out) if self.streams[name].columns else out
         return df
+
+    # -- table DML replay ---------------------------------------------------
+    #
+    # ≙ reference table mutation processors ({update,delete,upsert}_table_
+    # processor.rs): every arriving source-stream event mutates the table
+    # under the app's single global arrival order. This replay is the
+    # AppRunner fixture analog (bounded data, like run()'s collect) — the
+    # distributed form of the same semantics is operators/dml.py's MERGE
+    # plans, oracle-gated as dml_upsert_last_writer / dml_update_additive /
+    # dml_delete_stream_antijoin.
+
+    def _table_state(self, name: str, _stack: frozenset = frozenset()) -> list[dict]:
+        if name in self._table_final:
+            return self._table_final[name]
+        cols = [c for c, _ in self.streams[name].columns]
+        events: list[tuple[int, str, object, object]] = []  # (seq, kind, dml, payload)
+        # adds: sent rows + INSERT INTO <table> query emissions
+        for r in self._rows[name]:
+            row = dict(zip(cols, r[:-2]))
+            events.append((r[-2], "add", None, {**row, "__seq": r[-2], "__ts": r[-1]}))
+        for q in self.queries:
+            if q.target == name:
+                out = self._run_query(q, _stack | {name}).toPandas()
+                for rec in out.to_dict("records"):
+                    events.append(
+                        (int(rec["__seq"]), "add", None,
+                         {**{c: rec[c] for c in cols}, "__seq": int(rec["__seq"]),
+                          "__ts": rec["__ts"]})
+                    )
+        # mutations: each DML statement driven by its source stream's rows
+        for d in self.dml:
+            if d.table != name:
+                continue
+            src = (
+                self.stream_df(d.source, _stack | {name})
+                .orderBy("__seq")
+                .toPandas()
+            )
+            for rec in src.to_dict("records"):
+                events.append((int(rec["__seq"]), d.kind, d, rec))
+        events.sort(key=lambda e: e[0])
+
+        state: list[dict] = []
+        for seq, kind, d, payload in events:
+            if kind == "add":
+                state.append(payload)
+                continue
+            self._apply_mutation(state, d, payload, cols, seq)
+        self._table_final[name] = state
+        return state
+
+    def _apply_mutation(
+        self, state: list[dict], d: DmlDef, event: dict, cols: list[str], seq: int
+    ) -> None:
+        cond = self._compile_dml_expr(d.condition, d, cols)
+        if d.kind == "update":
+            setters = [
+                (col, self._compile_dml_expr(expr, d, cols))
+                for col, expr in d.set_items
+            ]
+            for row in state:
+                if cond(row, event):
+                    new = {col: fn(row, event) for col, fn in setters}
+                    row.update(new)
+        elif d.kind == "delete":
+            state[:] = [row for row in state if not cond(row, event)]
+        elif d.kind == "upsert":
+            vals = [
+                self._compile_dml_expr(expr, d, cols, prefer_event=True)({}, event)
+                for expr, _ in d.select_items
+            ]
+            if len(vals) != len(cols):
+                raise ValueError(
+                    f"UPSERT INTO {d.table}: SELECT yields {len(vals)} values, "
+                    f"table has {len(cols)} columns"
+                )
+            new_row = dict(zip(cols, vals))
+            matched = False
+            for row in state:
+                if cond(row, event):
+                    row.update(new_row)
+                    matched = True
+            if not matched:
+                state.append(
+                    {**new_row, "__seq": seq, "__ts": event.get("__ts")}
+                )
+
+    def _compile_dml_expr(
+        self, expr: str, d: DmlDef, table_cols: list[str], prefer_event: bool = False
+    ):
+        """Compile a DML condition / SET / SELECT expression into a python
+        callable over (table row dict, event dict). Qualified refs resolve by
+        name (table vs source/alias); bare names prefer the table column —
+        except UPSERT SELECT items (``prefer_event``), whose values come from
+        the driving stream event."""
+        src_names = {d.source}
+        if d.source_alias:
+            src_names.add(d.source_alias)
+
+        def sub_qualified(m: re.Match) -> str:
+            qual, col = m.group(1), m.group(2)
+            if qual == d.table:
+                return f"__t[{col!r}]"
+            if qual in src_names:
+                return f"__e[{col!r}]"
+            raise ValueError(f"unknown qualifier {qual!r} in {expr!r}")
+
+        py = re.sub(r"\b(\w+)\.(\w+)\b", sub_qualified, expr)
+        py = re.sub(r"(?<![<>!=])=(?!=)", "==", py)
+        py = re.sub(r"\bAND\b", "and", py, flags=re.IGNORECASE)
+        py = re.sub(r"\bOR\b", "or", py, flags=re.IGNORECASE)
+        py = re.sub(r"\bNOT\b", "not", py, flags=re.IGNORECASE)
+
+        def sub_bare(m: re.Match) -> str:
+            w = m.group(1)
+            if w in ("and", "or", "not", "__t", "__e", "True", "False", "None"):
+                return w
+            if not prefer_event and w in table_cols:
+                return f"__t[{w!r}]"
+            return f"__e[{w!r}]"
+
+        py = re.sub(r"\b(?!__[te]\b)([a-zA-Z_]\w*)\b(?!\s*\(|')", sub_bare, py)
+        # un-substitute dict keys the bare pass may have wrapped
+        py = re.sub(r"__[te]\[__t\[(\'\w+\')\]\]", r"__t[\1]", py)
+        py = re.sub(r"__[te]\[__e\[(\'\w+\')\]\]", r"__e[\1]", py)
+        code = compile(py, "<dml-expr>", "eval")
+
+        def fn(row: dict, event: dict):
+            return eval(code, {"__builtins__": {}}, {"__t": row, "__e": event})
+
+        return fn
+
+    @staticmethod
+    def _py(v):
+        """pandas/numpy scalar → plain python (createDataFrame strictness)."""
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime()
+        return v.item() if hasattr(v, "item") else v
+
+    def _table_df(self, name: str, _stack: frozenset = frozenset()) -> DataFrame:
+        cols = [c for c, _ in self.streams[name].columns]
+        schema = ", ".join(f"{c} {t}" for c, t in self.streams[name].columns)
+        schema += ", __seq bigint, __ts timestamp"
+        state = self._table_state(name, _stack)
+        rows = [
+            tuple(self._py(r.get(c)) for c in cols)
+            + (self._py(r["__seq"]), self._py(r["__ts"]))
+            for r in state
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def table(self, name: str) -> list[tuple]:
+        """Final table state (insertion order) after all DML replay —
+        ≙ reference Table::find over the whole store."""
+        cols = [c for c, _ in self.streams[name].columns]
+        return [tuple(r.get(c) for c in cols) for r in self._table_state(name)]
+
+    # -- incremental aggregation queries --------------------------------------
+
+    def query_aggregation(
+        self,
+        name: str,
+        per: str,
+        within: "tuple | None" = None,
+    ) -> list[tuple]:
+        """``query_aggregation(agg_id, within, per)``
+        (≙ eventflux_app_runtime.rs:982) over a CREATE AGGREGATION cascade.
+        Returns (keys..., bucket_start, aggs...) rows ordered by
+        (keys, bucket_start). Exceeds the reference, whose runtime ignores
+        ``within`` (aggregation_runtime.rs:61) — here it is a real
+        bucket-range filter."""
+        from ..operators.incremental import IncrementalAggregation
+
+        a = self.aggregations[name]
+        src = self.stream_df(a.source)
+        inc = IncrementalAggregation(
+            src, "__ts", a.group_cols, a.aggs, a.durations
+        )
+        out = inc.query(per, within)
+        return [
+            tuple(r)
+            for r in out.orderBy(*a.group_cols, "bucket_start").collect()
+        ]
+
+    # -- on-demand (store) queries -------------------------------------------
+    #
+    # ≙ reference on_demand_query.rs:17-28 / store.rs:5 — SELECT / UPDATE /
+    # DELETE against a table's CURRENT state, outside any stream query.
+
+    def on_demand(self, sql: str) -> list[tuple] | int:
+        """Run an on-demand store query. SELECT returns rows; UPDATE/DELETE
+        mutate the table state in place and return the affected-row count."""
+        stmt = sql.strip().rstrip(";")
+        head = stmt.split(None, 1)[0].upper()
+        if head == "SELECT":
+            tables = {d.table for d in self.dml} | {
+                n for n, s in self.streams.items() if s.is_table
+            }
+            for t in tables:
+                self._table_df(t).createOrReplaceTempView(t)
+            out = self.spark.sql(stmt)
+            cols = [c for c in out.columns if not c.startswith("__")]
+            return [tuple(r) for r in out.select(*cols).collect()]
+        if head == "UPDATE":
+            m = re.match(
+                r"UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            table, set_text, cond_text = m.groups()
+            d = DmlDef("update", table, "__none__", cond_text.strip())
+            from .compiler import _split_top
+
+            for item in _split_top(set_text):
+                am = re.match(r"([\w.]+)\s*=\s*(.+)$", item.strip(), re.DOTALL)
+                d.set_items.append((am.group(1).split(".")[-1], am.group(2).strip()))
+        elif head == "DELETE":
+            m = re.match(
+                r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            table, cond_text = m.groups()
+            d = DmlDef("delete", table, "__none__", cond_text.strip())
+        else:
+            raise ValueError(f"unsupported on-demand statement: {stmt[:60]}")
+        cols = [c for c, _ in self.streams[table].columns]
+        state = self._table_state(table)
+        cond = self._compile_dml_expr(d.condition, d, cols)
+        n_before = len(state)
+        if d.kind == "delete":
+            state[:] = [row for row in state if not cond(row, {})]
+            return n_before - len(state)
+        setters = [
+            (col, self._compile_dml_expr(expr, d, cols)) for col, expr in d.set_items
+        ]
+        n = 0
+        for row in state:
+            if cond(row, {}):
+                row.update({col: fn(row, {}) for col, fn in setters})
+                n += 1
+        return n
 
     def run(self, target: str) -> list[tuple]:
         """Collect the target stream's rows in emission order (AppRunner
@@ -344,7 +614,41 @@ class EventFluxApp:
     def _run_query(self, q: QueryDef, stack: frozenset) -> DataFrame:
         if q.pattern is not None:
             return self._run_pattern_query(q, stack)
+        if q.output_rate is not None and q.output_rate[0] == "SNAPSHOT":
+            return self._run_snapshot_query(q, stack)
         return self._run_select_query(q, stack)
+
+    def _run_snapshot_query(self, q: QueryDef, stack: frozenset) -> DataFrame:
+        """OUTPUT SNAPSHOT EVERY d (snapshot_output_rate.rs): every d ticks
+        emit the FULL current aggregate state — restated on the app's event
+        clock as per-tick cumulative aggregates (operators/output.py)."""
+        from ..operators import output as OUT
+
+        if not (q.group_by or any(_AGG_RE.search(e) for e, _ in q.select_items)):
+            raise ValueError("OUTPUT SNAPSHOT requires an aggregating query")
+        if q.window is not None:
+            raise ValueError("OUTPUT SNAPSHOT over explicit windows unsupported")
+        df = self.stream_df(q.source, stack | {q.target})
+        if q.where:
+            df = df.filter(F.expr(q.where))
+        keys = [g.strip() for g in (q.group_by or "").split(",") if g.strip()]
+        aggs = [
+            F.expr(e).alias(a or e)
+            for e, a in q.select_items
+            if _AGG_RE.search(e)
+        ]
+        interval_ms = q.output_rate[1]
+        end = _EPOCH + datetime.timedelta(seconds=max(self._seq, 1))
+        out = OUT.output_snapshot_agg(
+            df, interval_ms, "__ts", keys, aggs, _EPOCH, end
+        )
+        sel = [F.col(a or e) for e, a in q.select_items]
+        order = [F.col("tick")] + [F.col(k) for k in keys]
+        return out.select(
+            *sel,
+            F.row_number().over(Window.orderBy(*order)).alias("__seq"),
+            F.col("tick").cast("timestamp").alias("__ts"),
+        )
 
     def _register(self, name: str, stack: frozenset) -> None:
         self.stream_df(name, stack).createOrReplaceTempView(name)
@@ -363,8 +667,15 @@ class EventFluxApp:
         src = q.source
         where = f" WHERE {q.where}" if q.where else ""
         group = ""
-        if q.window is not None:
-            w = q.window
+        # named/shared window: FROM <window-stream> inherits its definition
+        # (window_runtime.rs shared-buffer semantics — every reader sees the
+        # same windowed contents)
+        window = q.window
+        sdef = self.streams.get(q.source)
+        if window is None and sdef is not None and sdef.shared_window is not None:
+            window = sdef.shared_window
+        if window is not None:
+            w = window
             if w.kind == "tumbling":
                 win = f"window(__ts, '{w.params[0]} milliseconds')"
             elif w.kind == "sliding":
@@ -455,12 +766,41 @@ class EventFluxApp:
                 "__seq", F.row_number().over(Window.orderBy(*order_cols))
             )
         if q.output_rate is not None:
-            mode, n = q.output_rate
-            out = out.withColumn(
-                "__rn", F.row_number().over(Window.orderBy("__seq"))
-            )
-            keep = (F.col("__rn") % n == 1) if mode == "FIRST" else (F.col("__rn") % n == 0)
-            out = out.filter(keep).drop("__rn")
+            mode, value, unit = q.output_rate
+            if unit == "EVENTS":
+                out = out.withColumn(
+                    "__rn", F.row_number().over(Window.orderBy("__seq"))
+                )
+                if mode == "ALL":
+                    # complete n-blocks only; trailing partial block stays
+                    # buffered (events_output_rate.rs ALL behavior)
+                    total = out.withColumn(
+                        "__n", F.count(F.lit(1)).over(Window.partitionBy())
+                    )
+                    out = total.filter(
+                        F.col("__rn") <= F.floor(F.col("__n") / value) * value
+                    ).drop("__rn", "__n")
+                else:
+                    keep = (
+                        (F.col("__rn") % value == 1)
+                        if mode == "FIRST"
+                        else (F.col("__rn") % value == 0)
+                    )
+                    out = out.filter(keep).drop("__rn")
+            else:  # TIME (time_output_rate.rs): d-wide buckets of event time
+                if mode != "ALL":
+                    bucket = F.floor(
+                        F.col("__ts").cast("timestamp_ltz").cast("double")
+                        * 1000 / value
+                    )
+                    order = (
+                        F.col("__seq").asc() if mode == "FIRST" else F.col("__seq").desc()
+                    )
+                    out = out.withColumn(
+                        "__rn", F.row_number().over(Window.partitionBy(bucket).orderBy(order))
+                    ).filter(F.col("__rn") == 1).drop("__rn")
+                # ALL EVERY d TIME: every buffered event emits at the next
+                # tick — batch restatement is a passthrough
         return out
 
     def _length_changelog(self, q: QueryDef, n: int) -> DataFrame:

@@ -69,6 +69,10 @@ class StreamDef:
     #: trigger streams (CREATE TRIGGER ... AT ...): 'start' | every-ms int
     #: (reference trigger_definition.rs:9-17; SQL application.rs:213)
     trigger: Optional[object] = None
+    #: named/shared window (CREATE WINDOW ... WINDOW('kind', params) —
+    #: window_definition.rs / window_runtime.rs): queries reading FROM this
+    #: stream inherit the window, sharing one buffer definition
+    shared_window: Optional[object] = None
 
 
 def parse_trigger(stmt: str) -> StreamDef:
@@ -93,6 +97,145 @@ def parse_trigger(stmt: str) -> StreamDef:
     else:
         raise ValueError(f"unsupported trigger spec: {spec}")
     return StreamDef(name, [("triggered_time", "timestamp")], trigger=trig)
+
+
+@dataclass
+class AggregationDef:
+    """``CREATE AGGREGATION Name [WITH (...)] AS SELECT keys, FN(col) AS out,
+    ... FROM Stream [GROUP BY keys] AGGREGATE EVERY SECONDS, MINUTES, ...``
+    (GRAMMAR.md:739-745; runtime incremental_executor.rs:14)."""
+
+    name: str
+    source: str
+    group_cols: list
+    aggs: dict  # out name -> (fn, col)
+    durations: list
+
+
+def parse_aggregation(stmt: str) -> AggregationDef:
+    m = re.match(
+        r"CREATE\s+AGGREGATION\s+(\w+)\s*(?:WITH\s*\([^)]*\)\s*)?AS\s+"
+        r"SELECT\s+(.*?)\s+FROM\s+(\w+)\s*(?:GROUP\s+BY\s+(.*?))?\s*"
+        r"AGGREGATE\s+EVERY\s+(.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse CREATE AGGREGATION: {stmt[:80]}")
+    name, sel_text, source, group_text, dur_text = m.groups()
+    group_cols = (
+        [g.strip() for g in group_text.split(",") if g.strip()] if group_text else []
+    )
+    aggs = {}
+    for item in _split_top(sel_text):
+        item = item.strip()
+        if item in group_cols:
+            continue
+        am = re.match(
+            r"(SUM|COUNT|MIN|MAX|AVG)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?\s*$",
+            item,
+            re.IGNORECASE,
+        )
+        if not am:
+            raise ValueError(
+                f"aggregation SELECT items must be keys or FN(col) [AS name]: {item!r}"
+            )
+        fn, col, alias = am.group(1).lower(), am.group(2), am.group(3)
+        out = alias or f"{fn}_{col}".replace("*", "all")
+        aggs[out] = (fn, col)
+    durations = [d.strip().upper() for d in dur_text.split(",") if d.strip()]
+    return AggregationDef(name, source, group_cols, aggs, durations)
+
+
+@dataclass
+class DmlDef:
+    """Stream-driven table mutation (``application.rs:218-486``):
+
+    - ``UPDATE <table> SET col = expr, ... FROM <stream> [AS a] WHERE cond``
+      (``update_table_processor.rs``)
+    - ``DELETE FROM <table> USING <stream> [AS a] WHERE cond``
+      (``delete_table_processor.rs``)
+    - ``UPSERT INTO <table> SELECT ... FROM <stream> [AS a] ON cond``
+      (``upsert_table_processor.rs:14-19`` — match → update, miss → insert)
+    """
+
+    kind: str  # update | delete | upsert
+    table: str
+    source: str
+    condition: str
+    source_alias: Optional[str] = None
+    set_items: list = field(default_factory=list)  # update: [(col, expr)]
+    select_items: list = field(default_factory=list)  # upsert: [(expr, alias)]
+
+
+def _parse_source_ref(text: str) -> tuple[str, Optional[str]]:
+    m = re.fullmatch(r"(\w+)(?:\s+AS\s+(\w+)|\s+(\w+))?", text.strip(), re.IGNORECASE)
+    if not m:
+        raise ValueError(f"bad stream reference: {text!r}")
+    return m.group(1), m.group(2) or m.group(3)
+
+
+def parse_update(stmt: str) -> DmlDef:
+    m = re.match(
+        r"UPDATE\s+(\w+)\s+SET\s+(.*?)\s+FROM\s+(\w+(?:\s+(?:AS\s+)?\w+)?)\s+"
+        r"WHERE\s+(.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            f"cannot parse UPDATE (needs SET ... FROM stream WHERE cond): {stmt[:80]}"
+        )
+    table, set_text, src_text, cond = m.groups()
+    source, alias = _parse_source_ref(src_text)
+    set_items = []
+    for item in _split_top(set_text):
+        am = re.match(r"([\w.]+)\s*=\s*(.+)$", item.strip(), re.DOTALL)
+        if not am:
+            raise ValueError(f"bad SET assignment: {item!r}")
+        col = am.group(1).split(".")[-1]  # strip table qualifier
+        set_items.append((col, am.group(2).strip()))
+    return DmlDef("update", table, source, cond.strip(), alias, set_items=set_items)
+
+
+def parse_delete(stmt: str) -> DmlDef:
+    m = re.match(
+        r"DELETE\s+FROM\s+(\w+)\s+USING\s+(\w+(?:\s+(?:AS\s+)?\w+)?)\s+WHERE\s+(.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            f"cannot parse DELETE (needs USING stream WHERE cond): {stmt[:80]}"
+        )
+    table, src_text, cond = m.groups()
+    source, alias = _parse_source_ref(src_text)
+    return DmlDef("delete", table, source, cond.strip(), alias)
+
+
+def parse_upsert(stmt: str) -> DmlDef:
+    m = re.match(
+        r"UPSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+"
+        r"(\w+(?:\s+(?:AS\s+)?\w+)?)\s+ON\s+(.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            f"cannot parse UPSERT (needs SELECT ... FROM stream ON cond): {stmt[:80]}"
+        )
+    table, sel_text, src_text, cond = m.groups()
+    source, alias = _parse_source_ref(src_text)
+    select_items = []
+    for item in _split_top(sel_text):
+        am = re.match(r"(.+?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+        if am:
+            select_items.append((am.group(1).strip(), am.group(2)))
+        else:
+            select_items.append((item.strip(), None))
+    return DmlDef(
+        "upsert", table, source, cond.strip(), alias, select_items=select_items
+    )
 
 
 @dataclass
@@ -130,7 +273,10 @@ class QueryDef:
     order_by: Optional[str] = None
     limit: Optional[int] = None
     offset: Optional[int] = None
-    output_rate: Optional[tuple[str, int]] = None  # (FIRST|LAST, n)
+    #: (mode, value, unit): mode FIRST|LAST|ALL|SNAPSHOT; unit 'EVENTS'
+    #: (value = n) or 'TIME' (value = interval ms). SNAPSHOT is TIME-only
+    #: (ratelimit/*.rs:9-39, converter.rs:313-366).
+    output_rate: Optional[tuple[str, int, str]] = None
     pattern: Optional[PatternDef] = None
     #: PARTITION WITH (col OF Stream, ...) — per-key isolated query
     #: instances (reference partition/parser.rs:14); stream name → key col
@@ -193,6 +339,23 @@ def _split_top(text: str, sep: str = ",") -> list[str]:
 
 
 def parse_create(stmt: str) -> StreamDef:
+    # CREATE WINDOW Name (cols) WINDOW('kind', params)
+    # (window_definition.rs; shared across queries per window_runtime.rs)
+    wm = re.match(
+        r"CREATE\s+WINDOW\s+(\w+)\s*\((.*)\)\s*WINDOW\s*\(\s*'(\w+)'\s*"
+        r"(?:,([^)]*))?\)\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if wm:
+        name, cols_text, wkind, wparams_text = wm.groups()
+        sd = _parse_columns(name, cols_text)
+        params = []
+        for p in _split_top(wparams_text) if wparams_text else []:
+            p = p.strip()
+            params.append(int(p) if re.fullmatch(r"\d+", p) else parse_time_ms(p))
+        sd.shared_window = WindowSpec(wkind, params)
+        return sd
     m = re.match(
         r"CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.*)\)\s*(WITH\s*\((.*)\))?\s*$",
         stmt,
@@ -201,6 +364,17 @@ def parse_create(stmt: str) -> StreamDef:
     if not m:
         raise ValueError(f"cannot parse: {stmt[:80]}")
     kind, name, cols_text, _, with_text = m.groups()
+    sd = _parse_columns(name, cols_text)
+    if with_text:
+        for kv in _split_top(with_text):
+            km = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", kv)
+            if km:
+                sd.options[km.group(1)] = km.group(2)
+    sd.is_table = kind.upper() == "TABLE"
+    return sd
+
+
+def _parse_columns(name: str, cols_text: str) -> StreamDef:
     cols = []
     for item in _split_top(cols_text):
         if item.upper().startswith("PRIMARY KEY"):
@@ -208,15 +382,9 @@ def parse_create(stmt: str) -> StreamDef:
         cm = re.match(r"(\w+)\s+(\w+)", item.strip())
         cname, ctype = cm.group(1), cm.group(2).upper()
         if ctype not in TYPE_MAP:
-            raise ValueError(f"unsupported type {ctype} in {stmt[:60]}")
+            raise ValueError(f"unsupported type {ctype} in column list of {name}")
         cols.append((cname, TYPE_MAP[ctype]))
-    options = {}
-    if with_text:
-        for kv in _split_top(with_text):
-            km = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", kv)
-            if km:
-                options[km.group(1)] = km.group(2)
-    return StreamDef(name, cols, options, is_table=kind.upper() == "TABLE")
+    return StreamDef(name, cols)
 
 
 _CLAUSE_RE = re.compile(
@@ -300,13 +468,29 @@ def parse_insert(stmt: str) -> QueryDef:
     if "OFFSET" in clauses:
         q.offset = int(re.match(r"(\d+)", clauses["OFFSET"]).group(1))
     if "OUTPUT" in clauses:
-        om = re.match(
-            r"(FIRST|LAST)\s+EVERY\s+(\d+)\s+EVENTS", clauses["OUTPUT"], re.IGNORECASE
-        )
-        if not om:
-            raise ValueError(f"unsupported OUTPUT clause: {clauses['OUTPUT']}")
-        q.output_rate = (om.group(1).upper(), int(om.group(2)))
+        q.output_rate = _parse_output_rate(clauses["OUTPUT"])
     return q
+
+
+def _parse_output_rate(text: str) -> tuple[str, int, str]:
+    """``[ALL|FIRST|LAST] EVERY n EVENTS`` | ``[ALL|FIRST|LAST] EVERY d
+    <time unit>`` | ``SNAPSHOT EVERY d <time unit>``
+    (converter.rs:313-412; SNAPSHOT+EVENTS is rejected like the reference
+    parser, tests/output_rate_limit_comprehensive.rs:707)."""
+    text = text.strip()
+    m = re.fullmatch(
+        r"(ALL|FIRST|LAST|SNAPSHOT)?\s*EVERY\s+(\d+)\s+(\w+)", text, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(f"unsupported OUTPUT clause: {text!r}")
+    mode = (m.group(1) or "ALL").upper()
+    value, unit = int(m.group(2)), m.group(3).upper()
+    if unit in ("EVENT", "EVENTS"):
+        if mode == "SNAPSHOT":
+            raise ValueError("OUTPUT SNAPSHOT requires a time unit, not EVENTS")
+        return (mode, value, "EVENTS")
+    interval_ms = parse_time_ms(f"{value} {unit}")
+    return (mode, interval_ms, "TIME")
 
 
 def _parse_from(frm: str):

@@ -144,6 +144,72 @@ class TestOrderLimit:
         app.send("S", [(i,) for i in range(7)])
         assert app.run("Out") == [(0,), (3,), (6,)]
 
+    def test_output_all_every_events_complete_batches(self, spark):
+        # ≙ output_rate_limit_comprehensive.rs:50-70 (ALL emits on batch
+        # completion; trailing partial batch stays buffered)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Out SELECT v FROM S OUTPUT ALL EVERY 3 EVENTS;
+            """
+        )
+        app.send("S", [(i,) for i in range(8)])  # 8 events, 2 complete blocks
+        assert app.run("Out") == [(i,) for i in range(6)]
+
+    def test_output_first_every_time(self, spark):
+        # ≙ time_output_rate.rs:9-17 / converter.rs:406-412: FIRST EVERY d —
+        # one event per d-wide bucket of the emission timeline (app clock =
+        # 1 s per event, so EVERY 3 SECONDS buckets events {0,1,2},{3,4,5},…)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Out SELECT v FROM S OUTPUT FIRST EVERY 3 SECONDS;
+            """
+        )
+        app.send("S", [(i,) for i in range(8)])
+        assert app.run("Out") == [(0,), (3,), (6,)]
+
+    def test_output_last_every_time(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Out SELECT v FROM S OUTPUT LAST EVERY 3 SECONDS;
+            """
+        )
+        app.send("S", [(i,) for i in range(8)])
+        assert app.run("Out") == [(2,), (5,), (7,)]
+
+    def test_output_snapshot_every_time(self, spark):
+        # ≙ snapshot_output_rate.rs: every d the FULL current aggregate state
+        # is emitted (running totals at each tick)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE STREAM Out (sym VARCHAR, total BIGINT);
+            INSERT INTO Out
+            SELECT sym, SUM(v) AS total FROM S GROUP BY sym
+            OUTPUT SNAPSHOT EVERY 2 SECONDS;
+            """
+        )
+        # events at t=0,1,2,3 s → ticks at 2s and 4s
+        app.send("S", [("a", 1), ("a", 2), ("b", 10), ("a", 4)])
+        got = app.run("Out")
+        # tick 2s: a=3 (events t0,t1,t2<=2? t2 is ("b",10) at 2s) b=10
+        assert got == [("a", 3), ("b", 10), ("a", 7), ("b", 10)]
+
+    def test_parser_rejects_snapshot_with_events(self, spark):
+        # ≙ output_rate_limit_comprehensive.rs:707
+        with pytest.raises(ValueError, match="SNAPSHOT"):
+            EventFluxApp(spark).execute(
+                """
+                CREATE STREAM S (v INT);
+                INSERT INTO Out SELECT v FROM S OUTPUT SNAPSHOT EVERY 5 EVENTS;
+                """
+            )
+
 
 class TestPatterns:
     def test_pattern_two_streams(self, spark):
@@ -432,6 +498,228 @@ class TestTableDML:
         app.send("In", [(1, "a"), (2, "b")])
         app.send("Probe", [(2,), (3,)])
         assert app.run("Out") == [(2, "b")]
+
+    def test_update_table_from_stream(self, spark):
+        # ≙ application.rs:218-360 (UPDATE ... SET ... FROM stream WHERE) +
+        # update_table_processor.rs: each stream event updates matching rows
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, label VARCHAR);
+            CREATE STREAM Upd (id INT, newlabel VARCHAR);
+            CREATE TABLE T (id INT, label VARCHAR);
+            INSERT INTO T SELECT id, label FROM In;
+            UPDATE T SET label = Upd.newlabel FROM Upd WHERE T.id = Upd.id;
+            """
+        )
+        app.send("In", [(1, "a"), (2, "b")])
+        app.send("Upd", [(1, "x")])
+        assert app.table("T") == [(1, "x"), (2, "b")]
+
+    def test_update_respects_arrival_order(self, spark):
+        # an UPDATE event arriving BEFORE the row's insert must not touch it
+        # (single global arrival order, input_handler.rs:65 analog)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, label VARCHAR);
+            CREATE STREAM Upd (id INT, newlabel VARCHAR);
+            CREATE TABLE T (id INT, label VARCHAR);
+            INSERT INTO T SELECT id, label FROM In;
+            UPDATE T SET label = Upd.newlabel FROM Upd WHERE T.id = Upd.id;
+            """
+        )
+        app.send("Upd", [(2, "early")])  # row 2 not inserted yet
+        app.send("In", [(1, "a"), (2, "b")])
+        app.send("Upd", [(1, "x")])
+        assert app.table("T") == [(1, "x"), (2, "b")]
+
+    def test_update_set_expression_uses_stream_and_table(self, spark):
+        # SET expr may combine table and stream values (UpdateSet
+        # expressions, application.rs:293-345)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, bal INT);
+            CREATE STREAM Dep (id INT, amount INT);
+            CREATE TABLE Acct (id INT, bal INT);
+            INSERT INTO Acct SELECT id, bal FROM In;
+            UPDATE Acct SET bal = Acct.bal + Dep.amount FROM Dep WHERE Acct.id = Dep.id;
+            """
+        )
+        app.send("In", [(1, 100), (2, 50)])
+        app.send("Dep", [(1, 10), (1, 5), (2, 7)])
+        assert app.table("Acct") == [(1, 115), (2, 57)]
+
+    def test_delete_from_table_using_stream(self, spark):
+        # ≙ application.rs:363-462 (DELETE FROM ... USING stream WHERE) +
+        # delete_table_processor.rs
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, label VARCHAR);
+            CREATE STREAM Del (id INT);
+            CREATE TABLE T (id INT, label VARCHAR);
+            INSERT INTO T SELECT id, label FROM In;
+            DELETE FROM T USING Del WHERE T.id = Del.id;
+            """
+        )
+        app.send("In", [(1, "a"), (2, "b"), (3, "c")])
+        app.send("Del", [(2,)])
+        assert app.table("T") == [(1, "a"), (3, "c")]
+
+    def test_upsert_update_or_insert(self, spark):
+        # ≙ application.rs:465-486 (UPSERT INTO ... SELECT ... ON cond) +
+        # upsert_table_processor.rs:14-19: match -> update, miss -> insert
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM U (id INT, label VARCHAR);
+            CREATE TABLE T (id INT, label VARCHAR);
+            UPSERT INTO T SELECT id, label FROM U ON T.id = U.id;
+            """
+        )
+        app.send("U", [(1, "a"), (2, "b")])   # both insert
+        app.send("U", [(1, "a2"), (3, "c")])  # 1 updates, 3 inserts
+        assert app.table("T") == [(1, "a2"), (2, "b"), (3, "c")]
+
+    def test_dml_final_state_visible_to_joins(self, spark):
+        # stream-table joins read the post-DML state (documented batch delta:
+        # tables bind their FINAL state, sql/app.py module docstring)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, label VARCHAR);
+            CREATE STREAM Upd (id INT, newlabel VARCHAR);
+            CREATE STREAM Probe (id INT);
+            CREATE STREAM Out (id INT, label VARCHAR);
+            CREATE TABLE T (id INT, label VARCHAR);
+            INSERT INTO T SELECT id, label FROM In;
+            UPDATE T SET label = Upd.newlabel FROM Upd WHERE T.id = Upd.id;
+            INSERT INTO Out SELECT Probe.id, T.label FROM Probe JOIN T ON Probe.id = T.id;
+            """
+        )
+        app.send("In", [(1, "a")])
+        app.send("Upd", [(1, "z")])
+        app.send("Probe", [(1,)])
+        assert app.run("Out") == [(1, "z")]
+
+    def test_on_demand_store_queries(self, spark):
+        # ≙ on_demand_query.rs:17-28 / store.rs:5 — SELECT/UPDATE/DELETE
+        # against the table's current state outside any stream query
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, v INT);
+            CREATE TABLE T (id INT, v INT);
+            INSERT INTO T SELECT id, v FROM In;
+            """
+        )
+        app.send("In", [(1, 10), (2, 20), (3, 30)])
+        assert app.on_demand("SELECT id, v FROM T WHERE v >= 20 ORDER BY id") == [
+            (2, 20), (3, 30),
+        ]
+        assert app.on_demand("UPDATE T SET v = v + 1 WHERE id = 2") == 1
+        assert app.on_demand("DELETE FROM T WHERE id = 1") == 1
+        assert app.table("T") == [(2, 21), (3, 30)]
+
+
+class TestNamedWindows:
+    def test_two_queries_share_one_named_window(self, spark):
+        # ≙ window_definition.rs + window_runtime.rs: a window defined once,
+        # read by multiple queries — every reader sees the SAME buffer
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE WINDOW W (v INT) WINDOW('length', 3);
+            CREATE STREAM Totals (total BIGINT);
+            CREATE STREAM Peaks (peak INT);
+            INSERT INTO W SELECT v FROM S;
+            INSERT INTO Totals SELECT SUM(v) AS total FROM W;
+            INSERT INTO Peaks SELECT MAX(v) AS peak FROM W;
+            """
+        )
+        app.send("S", [(1,), (5,), (2,), (4,)])  # buffer = last 3: {5,2,4}
+        assert app.run("Totals") == [(11,)]
+        assert app.run("Peaks") == [(5,)]
+
+    def test_named_tumbling_window_with_group_by(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE WINDOW W (sym VARCHAR, v INT) WINDOW('tumbling', 5 SECONDS);
+            CREATE STREAM Out (sym VARCHAR, total BIGINT);
+            INSERT INTO W SELECT sym, v FROM S;
+            INSERT INTO Out SELECT sym, SUM(v) AS total FROM W GROUP BY sym;
+            """
+        )
+        app.send("S", [("a", 1), ("a", 2), ("b", 10), ("a", 4), ("b", 20)])
+        app.send("S", [("a", 100), ("b", 200)])
+        assert sorted(app.run("Out")) == [
+            ("a", 7), ("a", 100), ("b", 30), ("b", 200),
+        ]
+
+    def test_inline_window_overrides_named(self, spark):
+        # a query with its OWN window spec does not inherit the shared one
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE WINDOW W (v INT) WINDOW('length', 3);
+            CREATE STREAM Out (total BIGINT);
+            INSERT INTO W SELECT v FROM S;
+            INSERT INTO Out SELECT SUM(v) AS total FROM W WINDOW('length', 2);
+            """
+        )
+        app.send("S", [(1,), (5,), (2,), (4,)])
+        assert app.run("Out") == [(6,)]  # last 2: {2,4}
+
+
+class TestIncrementalAggregation:
+    def test_create_aggregation_and_query_per(self, spark):
+        # ≙ tests/incremental_aggregation.rs test_incremental_executor_basic:
+        # events 1s apart land in successive SECONDS buckets; sums per bucket
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE AGGREGATION Agg AS
+            SELECT sym, SUM(v) AS total, COUNT(*) AS n
+            FROM S GROUP BY sym
+            AGGREGATE EVERY SECONDS, MINUTES, HOURS;
+            """
+        )
+        # app clock: 1 s per event → each event its own SECONDS bucket
+        app.send("S", [("a", 1), ("a", 2), ("b", 10)])
+        rows = app.query_aggregation("Agg", per="SECONDS")
+        assert [(r[0], r[2], r[3]) for r in rows] == [
+            ("a", 1, 1), ("a", 2, 1), ("b", 10, 1),
+        ]
+        # coarser level re-aggregates the finer one (all events in 1 minute)
+        rows_m = app.query_aggregation("Agg", per="MINUTES")
+        assert [(r[0], r[2], r[3]) for r in rows_m] == [("a", 3, 2), ("b", 10, 1)]
+
+    def test_query_aggregation_within_filters_buckets(self, spark):
+        # WITHIN is a real range filter here (exceeds aggregation_runtime.rs:61,
+        # which ignores it)
+        import datetime
+
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE AGGREGATION A AS SELECT SUM(v) AS total FROM S
+            AGGREGATE EVERY SECONDS, MINUTES;
+            """
+        )
+        app.send("S", [(1,), (2,), (3,), (4,)])  # seconds 0..3 of 2024-01-01
+        t0 = datetime.datetime(2024, 1, 1, 0, 0, 1)
+        t1 = datetime.datetime(2024, 1, 1, 0, 0, 3)
+        rows = app.query_aggregation("A", per="SECONDS", within=(t0, t1))
+        assert [r[1] for r in rows] == [2, 3]  # buckets at 1s and 2s only
+
+    def test_avg_decomposes_algebraically(self, spark):
+        # avg is carried as sum+count partials so coarser levels stay exact
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE AGGREGATION A AS SELECT AVG(v) AS mean FROM S
+            AGGREGATE EVERY SECONDS, MINUTES;
+            """
+        )
+        app.send("S", [(1,), (2,), (6,)])
+        rows = app.query_aggregation("A", per="MINUTES")
+        assert [r[1] for r in rows] == [3.0]
 
 
 class TestStreamingExecution:
