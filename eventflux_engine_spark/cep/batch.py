@@ -103,6 +103,8 @@ def output_schema(spec: PatternSpec, input_schema: T.StructType) -> T.StructType
             else:
                 t = by_name[c]
             fields.append(T.StructField(f"{s.name}_{fn}_{c}", t))
+        for idx, c in s.index_emit:
+            fields.append(T.StructField(f"{s.name}_at{idx}_{c}", by_name[c]))
     return T.StructType(fields)
 
 
@@ -113,6 +115,7 @@ def _pruned(df: DataFrame, spec: PatternSpec) -> DataFrame:
     for s in spec.steps:
         needed.update(s.emit)
         needed.update(c for _, c in s.agg_emit)
+        needed.update(c for _, c in s.index_emit)
     needed.update(spec.order_cols)
     return df.select(*sorted(needed))  # column pruning before the shuffle
 

@@ -42,6 +42,7 @@ def _event_fields(spec: PatternSpec) -> list[str]:
     for s in spec.steps:
         fields.update(s.emit)
         fields.update(c for _, c in s.agg_emit)
+        fields.update(c for _, c in s.index_emit)
     return sorted(fields)
 
 
@@ -79,6 +80,15 @@ def _emit_row(spec: PatternSpec, key: Any, matched: list[list[dict]]) -> dict:
             # (collection_aggregation_executor.rs:141-696)
             vals = [ev[c] for ev in matched[i]]
             row[f"{s.name}_{fn}_{c}"] = _COLLECTION_AGGS[fn](vals)
+        for idx, c in s.index_emit:
+            # indexed chain access e1[0].x / e1[last].x
+            # (indexed_variable_executor.rs:67); None past the chain end
+            chain = matched[i]
+            if idx == "last":
+                ev = chain[-1]
+            else:
+                ev = chain[idx] if idx < len(chain) else None
+            row[f"{s.name}_at{idx}_{c}"] = None if ev is None else ev[c]
     return row
 
 

@@ -55,6 +55,11 @@ class Step:
     #: (fn, col) pairs with fn in sum|avg|min|max|count; emitted as
     #: ``{name}_{fn}_{col}``.
     agg_emit: tuple[tuple[str, str], ...] = ()
+    #: indexed access into this step's matched chain (``e1[0].x`` /
+    #: ``e1[last].x`` — indexed_variable_executor.rs:67): (index, col) pairs
+    #: where index is an int or the string 'last'; emitted as
+    #: ``{name}_at{index}_{col}`` (None when the chain is shorter).
+    index_emit: tuple[tuple[object, str], ...] = ()
 
     def __post_init__(self) -> None:
         if self.min_count < 1 or self.max_count < self.min_count:
@@ -102,6 +107,7 @@ class PatternSpec:
             and s.cross_pred is None
             and s.logic != "and"
             and not s.agg_emit
+            and not s.index_emit
             for s in self.steps
         ) and self.every and self.mode == "pattern"
 
@@ -121,4 +127,6 @@ class PatternSpec:
                 cols.append((f"{s.name}_{c}", c))
             for fn, c in s.agg_emit:
                 cols.append((f"{s.name}_{fn}_{c}", c))
+            for idx, c in s.index_emit:
+                cols.append((f"{s.name}_at{idx}_{c}", c))
         return cols

@@ -45,6 +45,9 @@ def stream_stream_join(
     key: str | list[str],
     time_bound: Column | None = None,
     how: str = "inner",
+    emit_side: str = "all",
+    left_arrival: Column | None = None,
+    right_arrival: Column | None = None,
 ) -> DataFrame:
     """Stream-stream join on a shared key with an optional event-time bound.
 
@@ -55,6 +58,13 @@ def stream_stream_join(
     evictable. Outer-join caveat: the reference pads immediately on miss and
     never retracts (``join_processor.rs:104-112``) — fixtures only use inputs
     where unmatched rows stay unmatched (FIXTURES.md F3).
+
+    ``emit_side`` ≙ unidirectional ``EventTrigger::{Left,Right,All}``
+    (``join_input_stream.rs:23-28``): with ``'left'``, only LEFT arrivals
+    emit — a pair exists iff the left event arrived strictly AFTER the right
+    one was buffered (and vice versa for ``'right'``). Restated on the
+    arrival columns as an extra join predicate, so the plan stays a pure
+    equi-join + filter.
     """
     keys = [key] if isinstance(key, str) else list(key)
     cond = None
@@ -63,6 +73,16 @@ def stream_stream_join(
         cond = c if cond is None else (cond & c)
     if time_bound is not None:
         cond = cond & time_bound
+    if emit_side not in ("all", "left", "right"):
+        raise ValueError(f"emit_side must be all|left|right, got {emit_side!r}")
+    if emit_side != "all":
+        if left_arrival is None or right_arrival is None:
+            raise ValueError("unidirectional joins need arrival columns")
+        cond = cond & (
+            left_arrival > right_arrival
+            if emit_side == "left"
+            else right_arrival > left_arrival
+        )
     return left.join(right, cond, how)
 
 

@@ -704,6 +704,67 @@ def q_pattern_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_quantified_chain",
+    with_transcript_views(
+        """
+        WITH users AS (
+          SELECT conv_id, turn_idx, length(text) AS tlen,
+                 lead(turn_idx) OVER w AS turn2,
+                 lead(length(text)) OVER w AS tlen2
+          FROM transcripts WHERE role = 'user'
+          WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        )
+        SELECT u.conv_id,
+               u.turn_idx AS e1_first_turn,
+               u.turn2 AS e1_last_turn,
+               2 AS e1_count,
+               cast(u.tlen + u.tlen2 AS BIGINT) AS e1_sum_len,
+               a.turn_idx AS e2_turn
+        FROM users u JOIN transcripts a
+          ON a.conv_id = u.conv_id AND a.role = 'assistant'
+         AND a.turn_idx > u.turn2
+        WHERE u.turn2 IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                   ORDER BY a.turn_idx) = 1
+        """
+    ),
+    doc="CEP: EVERY e1=user{2,2} -> e2=assistant with indexed chain access "
+    "(e1[0]/e1[last], indexed_variable_executor.rs:67) and collection "
+    "aggregates (count(e1), sum(e1.len) — "
+    "collection_aggregation_executor.rs:141). Oracle: each user turn + its "
+    "NEXT user turn (lead window), then the first assistant after the "
+    "second (count_pre_state_processor.rs forwarding).",
+)
+def q_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _flagged_transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text")
+    )
+    spec = PatternSpec(
+        steps=(
+            Step(
+                "e1",
+                "is_user",
+                min_count=2,
+                max_count=2,
+                agg_emit=(("sum", "text_len"),),
+                index_emit=((0, "turn_idx"), ("last", "turn_idx")),
+            ),
+            Step("e2", "is_assistant"),
+        ),
+        every=True,
+    )
+    m = match_pattern_batch(t, spec)
+    return m.select(
+        "conv_id",
+        F.col("e1_at0_turn_idx").alias("e1_first_turn"),
+        F.col("e1_atlast_turn_idx").alias("e1_last_turn"),
+        F.col("e1_count").alias("e1_count"),
+        F.col("e1_sum_text_len").cast("bigint").alias("e1_sum_len"),
+        F.col("e2_turn_idx").alias("e2_turn"),
+    )
+
+
+@register(
     "pattern_user_tool_assistant",
     with_transcript_views(
         """

@@ -83,6 +83,46 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_unidirectional_left",
+    with_transcript_views(
+        """
+        SELECT u.conv_id, u.turn_idx AS user_turn, a.turn_idx AS assistant_turn
+        FROM (SELECT * FROM transcripts WHERE role = 'user') u
+        JOIN (SELECT * FROM transcripts WHERE role = 'assistant') a
+          ON a.conv_id = u.conv_id
+         AND u.turn_idx > a.turn_idx
+         AND u.turn_idx - a.turn_idx <= 4
+        """
+    ),
+    doc="unidirectional LEFT-triggered join (EventTrigger::Left, "
+    "join_input_stream.rs:23-28): only user arrivals emit, pairing with "
+    "assistant events ALREADY buffered (arrival order = turn_idx) within "
+    "the last 4 turns — restated as an extra arrival predicate on a pure "
+    "equi-join, no new shuffle",
+)
+def q_join_unidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import stream_stream_join
+
+    t = transcripts_df(spark, sf_dir)
+    u = t.filter(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("user_turn")
+    )
+    a = t.filter(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("conv_id"), F.col("turn_idx").alias("assistant_turn")
+    )
+    out = stream_stream_join(
+        u,
+        a,
+        "conv_id",
+        time_bound=(F.col("user_turn") - F.col("assistant_turn") <= 4),
+        emit_side="left",
+        left_arrival=F.col("user_turn"),
+        right_arrival=F.col("assistant_turn"),
+    )
+    return out.select(u["conv_id"], "user_turn", "assistant_turn")
+
+
 # ---------------------------------------------------------------------------
 # aggregations: minForever/maxForever, multi-resolution cascade, heavy hitters
 # ---------------------------------------------------------------------------
@@ -289,6 +329,98 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).filter(
         F.col("freq") >= 500
     )
+
+
+# ---------------------------------------------------------------------------
+# mappers (≙ reference JSON/CSV source mappers, SURVEY §2.1): parsing is a
+# Catalyst expression (from_json/from_csv), not custom runtime code
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mapper_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS total_k,
+           min(cast(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           max(cast(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON mapper (≙ reference JSON source mapper): from_json over the "
+    "raw props payload with an explicit schema, then plain aggregation — "
+    "parsing runs JVM-side in whole-stage codegen, no Python",
+)
+def q_mapper_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "j", F.from_json(F.col("props"), "k INT")
+    ).withColumn("k", F.col("j.k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("total_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "mapper_csv_roundtrip",
+    """
+    SELECT et, cast(floor(v) AS BIGINT) AS v_floor, count(*) AS n
+    FROM (
+      SELECT string_split(concat(event_type, ',', cast(value AS VARCHAR)), ',')[1] AS et,
+             cast(string_split(concat(event_type, ',', cast(value AS VARCHAR)), ',')[2] AS DOUBLE) AS v
+      FROM events
+    ) GROUP BY 1, 2
+    """,
+    doc="CSV mapper (≙ reference CSV source mapper): events serialized to "
+    "CSV lines and parsed back with from_csv + explicit schema — the "
+    "wire-format decode path as a codegen'd expression",
+)
+def q_mapper_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat_ws(",", F.col("event_type"), F.col("value").cast("string"))
+    parsed = ev.withColumn(
+        "c", F.from_csv(line, "et STRING, v DOUBLE")
+    )
+    return parsed.groupBy(
+        F.col("c.et").alias("et"),
+        F.floor("c.v").cast("bigint").alias("v_floor"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "set_intersect_except",
+    """
+    SELECT 'both' AS bucket, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    UNION ALL
+    SELECT 'purchase_only' AS bucket, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    """,
+    doc="INTERSECT / EXCEPT set operations (SURVEY §2.8 — free in Spark, "
+    "now wired and gated): purchasers who also clicked vs purchasers who "
+    "never did; both compile to hash semi/anti aggregations",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    both = buyers.intersect(clickers).select(
+        F.lit("both").alias("bucket"), "user_id"
+    )
+    only = buyers.distinct().exceptAll(clickers.distinct()).select(
+        F.lit("purchase_only").alias("bucket"), "user_id"
+    )
+    return both.unionByName(only)
 
 
 # ---------------------------------------------------------------------------

@@ -157,6 +157,11 @@ class EventFluxApp:
             # up to the last arrival (trigger_runtime.rs:13 analog)
             if sd.trigger == "start":
                 ticks = [_EPOCH]
+            elif isinstance(sd.trigger, tuple) and sd.trigger[0] == "cron":
+                # arbitrary 6-field cron (sql/cron.py ≙ trigger_runtime.rs:47)
+                ticks = sd.trigger[1].ticks(
+                    _EPOCH, _EPOCH + datetime.timedelta(seconds=self._seq)
+                )
             else:
                 step = datetime.timedelta(milliseconds=int(sd.trigger))
                 end = _EPOCH + datetime.timedelta(seconds=self._seq)
@@ -655,7 +660,7 @@ class EventFluxApp:
 
     def _run_select_query(self, q: QueryDef, stack: frozenset) -> DataFrame:
         self._register(q.source, stack)
-        for _, s, _ in q.joins:
+        for _, s, _, _ in q.joins:
             self._register(s, stack)
 
         is_agg = bool(q.group_by) or any(
@@ -726,15 +731,29 @@ class EventFluxApp:
         carry_seq = not is_agg
         sel = ", ".join(items)
         if carry_seq:
-            seq_src = f"{q.source}.__seq" if q.joins else "__seq"
+            # emission seq follows the DRIVING side: right-unidirectional
+            # joins emit on right arrivals (join_input_stream.rs:23-28)
+            driver = q.source
+            for _, s, _, trig in q.joins:
+                if trig == "right":
+                    driver = s
+            seq_src = f"{driver}.__seq" if q.joins else "__seq"
             sel += f", {seq_src} AS __seq, "
-            seq_ts = f"{q.source}.__ts" if q.joins else "__ts"
+            seq_ts = f"{driver}.__ts" if q.joins else "__ts"
             sel += f"{seq_ts} AS __ts"
 
-        join_sql = "".join(
-            f" {how.upper().replace('_', ' ')} JOIN {s} ON {cond}"
-            for how, s, cond in q.joins
-        )
+        join_parts = []
+        for how, s, cond, trig in q.joins:
+            if trig == "left":
+                # only LEFT arrivals emit: the left event must arrive after
+                # the right one was buffered
+                cond = f"({cond}) AND {q.source}.__seq > {s}.__seq"
+            elif trig == "right":
+                cond = f"({cond}) AND {s}.__seq > {q.source}.__seq"
+            join_parts.append(
+                f" {how.upper().replace('_', ' ')} JOIN {s} ON {cond}"
+            )
+        join_sql = "".join(join_parts)
         sql = f"SELECT {sel} FROM {src}{join_sql}{where}{group}"
         if q.having:
             sql += f" HAVING {q.having}"
@@ -880,16 +899,52 @@ class EventFluxApp:
                 return stream_to_alias[name], col
             raise ValueError(f"unknown pattern reference {name}.{col}")
 
-        select_plan = []
+        agg_emits: dict[str, set] = {s.alias: set() for s in p.steps}
+        index_emits: dict[str, set] = {s.alias: set() for s in p.steps}
+        select_plan: list[tuple[str, str]] = []  # (emitted col, output name)
         for expr, alias in q.select_items:
-            rm = re.fullmatch(r"(\w+)\.(\w+)", expr.strip())
+            expr = expr.strip()
+            # e1[0].col / e1[last].col — indexed chain access
+            # (indexed_variable_executor.rs:67)
+            im = re.fullmatch(r"(\w+)\[(\d+|last)\]\.(\w+)", expr, re.IGNORECASE)
+            if im:
+                a, _ = map_ref(im.group(1), im.group(3))
+                idx = im.group(2).lower()
+                idx = idx if idx == "last" else int(idx)
+                c = im.group(3)
+                index_emits[a].add((idx, c))
+                select_plan.append((f"{a}_at{idx}_{c}", alias or f"{a}_at{idx}_{c}"))
+                continue
+            # count(e1) / sum(e1.col) / min|max|avg(e1.col) — collection
+            # aggregation over the matched chain
+            # (collection_aggregation_executor.rs:141-696)
+            am = re.fullmatch(
+                r"(count|sum|min|max|avg)\s*\(\s*(\w+)(?:\.(\w+))?\s*\)",
+                expr,
+                re.IGNORECASE,
+            )
+            if am and (am.group(2) in referenced or am.group(2) in stream_to_alias):
+                fn = am.group(1).lower()
+                c = am.group(3)
+                if c is None:
+                    if fn != "count":
+                        raise ValueError(
+                            f"collection {fn} needs a column: {expr!r}"
+                        )
+                    c = "turn_idx"
+                a, c = map_ref(am.group(2), c)
+                agg_emits[a].add((fn, c))
+                select_plan.append((f"{a}_{fn}_{c}", alias or f"{fn}_{a}"))
+                continue
+            rm = re.fullmatch(r"(\w+)\.(\w+)", expr)
             if not rm:
                 raise ValueError(
-                    f"pattern SELECT supports alias.col / Stream.col refs, got {expr!r}"
+                    "pattern SELECT supports alias.col, alias[i].col, and "
+                    f"collection aggregates, got {expr!r}"
                 )
             a, c = map_ref(rm.group(1), rm.group(2))
             referenced[a].add(c)
-            select_plan.append((a, c, alias or c))
+            select_plan.append((f"{a}_{c}", alias or c))
 
         steps = []
         for sdef in p.steps:
@@ -919,6 +974,10 @@ class EventFluxApp:
                     sdef.max_count,
                     cross_pred=cross,
                     emit=tuple(sorted(referenced[sdef.alias])),
+                    agg_emit=tuple(sorted(agg_emits[sdef.alias])),
+                    index_emit=tuple(
+                        sorted(index_emits[sdef.alias], key=lambda t: (str(t[0]), t[1]))
+                    ),
                 )
                 for sdef, flag, cross in steps
             ),
@@ -926,7 +985,7 @@ class EventFluxApp:
             every=p.every,
         )
         m = match_pattern_batch(union, spec)
-        out_cols = [F.col(f"{a}_{c}").alias(out) for a, c, out in select_plan]
+        out_cols = [F.col(src).alias(out) for src, out in select_plan]
         last = spec.steps[-1].name
         return m.select(
             *out_cols,

@@ -77,8 +77,9 @@ class StreamDef:
 
 def parse_trigger(stmt: str) -> StreamDef:
     """``CREATE TRIGGER Name AT EVERY <time>`` / ``AT 'start'`` /
-    ``AT CRON '*/n * * * * *'`` (seconds-step crons map to every-n-seconds;
-    richer crons are a processing-time Trigger concern in streaming mode)."""
+    ``AT CRON '<6-field cron>'`` (arbitrary crons via sql/cron.py, matching
+    the reference's cron-crate scheduler — trigger_runtime.rs:47,
+    tests/app_runner_triggers.rs:62)."""
     m = re.match(
         r"CREATE\s+TRIGGER\s+(\w+)\s+AT\s+(.*)$", stmt, re.IGNORECASE | re.DOTALL
     )
@@ -86,14 +87,16 @@ def parse_trigger(stmt: str) -> StreamDef:
         raise ValueError(f"cannot parse trigger: {stmt[:60]}")
     name, spec = m.group(1), m.group(2).strip()
     if re.fullmatch(r"'start'", spec, re.IGNORECASE):
-        trig = "start"
+        trig: object = "start"
     elif spec.upper().startswith("EVERY"):
         trig = parse_time_ms(spec[5:])
     elif spec.upper().startswith("CRON"):
-        cm = re.match(r"CRON\s+'\*/(\d+) \* \* \* \* \*'", spec, re.IGNORECASE)
+        cm = re.match(r"CRON\s+'([^']+)'", spec, re.IGNORECASE)
         if not cm:
-            raise ValueError(f"only seconds-step crons supported in batch mode: {spec}")
-        trig = int(cm.group(1)) * 1000
+            raise ValueError(f"bad cron trigger spec: {spec}")
+        from .cron import Cron
+
+        trig = ("cron", Cron(cm.group(1)))  # parse eagerly: bad crons fail at DDL
     else:
         raise ValueError(f"unsupported trigger spec: {spec}")
     return StreamDef(name, [("triggered_time", "timestamp")], trigger=trig)
@@ -266,7 +269,9 @@ class QueryDef:
     select_items: list[tuple[str, Optional[str]]]  # (expr, alias)
     source: Optional[str] = None
     window: Optional[WindowSpec] = None
-    joins: list[tuple[str, str, str]] = field(default_factory=list)  # (how, stream, cond)
+    #: (how, stream, cond, trigger) — trigger 'all'|'left'|'right'
+    #: (unidirectional EventTrigger, join_input_stream.rs:23-28)
+    joins: list[tuple[str, str, str, str]] = field(default_factory=list)
     where: Optional[str] = None
     group_by: Optional[str] = None
     having: Optional[str] = None
@@ -494,10 +499,23 @@ def _parse_output_rate(text: str) -> tuple[str, int, str]:
 
 
 def _parse_from(frm: str):
-    """FROM <stream> [WINDOW(...)] [joins...]"""
+    """FROM <stream> [UNIDIRECTIONAL] [WINDOW(...)]
+    [joins: [LEFT|RIGHT|FULL] JOIN S [UNIDIRECTIONAL] ON cond ...]
+
+    UNIDIRECTIONAL marks the side whose arrivals trigger emission
+    (≙ EventTrigger::{Left,Right}, join_input_stream.rs:23-28); without it
+    both sides trigger (All)."""
     joins = []
+    # left-side UNIDIRECTIONAL: "FROM S UNIDIRECTIONAL JOIN ..."
+    left_uni = bool(
+        re.search(r"^\s*\w+\s+UNIDIRECTIONAL\b", frm, re.IGNORECASE)
+    )
+    frm = re.sub(
+        r"^(\s*\w+)\s+UNIDIRECTIONAL\b", r"\1", frm, flags=re.IGNORECASE
+    )
     join_re = re.compile(
-        r"\b(?:(LEFT|RIGHT|FULL)\s+)?(?:OUTER\s+)?JOIN\s+(\w+)\s+ON\s+",
+        r"\b(?:(LEFT|RIGHT|FULL)\s+)?(?:OUTER\s+)?JOIN\s+(\w+)"
+        r"(\s+UNIDIRECTIONAL)?\s+ON\s+",
         re.IGNORECASE,
     )
     matches = list(join_re.finditer(frm))
@@ -524,9 +542,13 @@ def _parse_from(frm: str):
         if how == "full":
             how = "full_outer"
         stream = jm.group(2)
+        right_uni = bool(jm.group(3))
+        if left_uni and right_uni:
+            raise ValueError("UNIDIRECTIONAL can mark only one join side")
+        trigger = "left" if left_uni else ("right" if right_uni else "all")
         cond_end = matches[i + 1].start() if i + 1 < len(matches) else len(frm)
         cond = frm[jm.end(): cond_end].strip()
-        joins.append((how, stream, cond))
+        joins.append((how, stream, cond, trigger))
     return source, window, joins
 
 

@@ -8,5 +8,23 @@ Structured Streaming checkpointing (free, including resume).
 
 from .sink import ExactlyOnceParquetSink
 from .source import chunked_feed, stream_from_dir
+from .registry import (
+    create_sink,
+    create_source,
+    create_table,
+    register_sink,
+    register_source,
+    register_table,
+)
 
-__all__ = ["ExactlyOnceParquetSink", "chunked_feed", "stream_from_dir"]
+__all__ = [
+    "ExactlyOnceParquetSink",
+    "chunked_feed",
+    "stream_from_dir",
+    "register_source",
+    "register_sink",
+    "register_table",
+    "create_source",
+    "create_sink",
+    "create_table",
+]

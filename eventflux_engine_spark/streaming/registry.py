@@ -1,0 +1,82 @@
+"""Pluggable source / sink / table factory registry.
+
+≙ reference extension factories (``src/core/eventflux_manager.rs``
+``add_source_factory`` / ``add_sink_factory`` / ``add_table_factory`` and the
+``WITH ('type'='source', 'extension'=...)`` auto-attach path,
+``eventflux_app_runtime.rs auto_attach_from_sql_definitions``): connectors
+register by name; ``CREATE STREAM ... WITH ('connector'='<name>', ...)``
+options resolve through this registry, so user-defined connectors plug in
+without touching engine code.
+
+A factory is any callable ``(spark, options: dict) -> DataFrame`` (sources /
+tables) or ``(options: dict) -> foreachBatch-callable`` (sinks). Built-ins
+registered below cover the sandbox-runnable surface; connector families the
+reference ships as network clients (RabbitMQ/WebSocket) are intentionally
+absent per SURVEY §2.1 — registering one here is the extension point.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import types as T
+
+from .sink import ExactlyOnceParquetSink
+from .source import rate_source, stream_from_dir
+
+_SOURCES: dict[str, Callable] = {}
+_SINKS: dict[str, Callable] = {}
+_TABLES: dict[str, Callable] = {}
+
+
+def register_source(name: str, factory: Callable) -> None:
+    _SOURCES[name] = factory
+
+
+def register_sink(name: str, factory: Callable) -> None:
+    _SINKS[name] = factory
+
+
+def register_table(name: str, factory: Callable) -> None:
+    _TABLES[name] = factory
+
+
+def create_source(name: str, spark, options: dict):
+    if name not in _SOURCES:
+        raise KeyError(f"unknown source connector {name!r}; known: {sorted(_SOURCES)}")
+    return _SOURCES[name](spark, options)
+
+
+def create_sink(name: str, options: dict):
+    if name not in _SINKS:
+        raise KeyError(f"unknown sink connector {name!r}; known: {sorted(_SINKS)}")
+    return _SINKS[name](options)
+
+
+def create_table(name: str, spark, options: dict):
+    if name not in _TABLES:
+        raise KeyError(f"unknown table connector {name!r}; known: {sorted(_TABLES)}")
+    return _TABLES[name](spark, options)
+
+
+# -- built-ins ---------------------------------------------------------------
+
+register_source(
+    "file",
+    lambda spark, opts: stream_from_dir(
+        spark,
+        opts["path"],
+        T._parse_datatype_string(opts["schema"]),
+        int(opts.get("max_files_per_trigger", 1)),
+    ),
+)
+register_source(
+    "rate", lambda spark, opts: rate_source(spark, int(opts.get("rows_per_second", 1000)))
+)
+register_sink(
+    "exactly_once_parquet",
+    lambda opts: ExactlyOnceParquetSink(
+        opts["path"], dlq_condition=opts.get("dlq_condition")
+    ).foreach_batch(),
+)
+register_table("parquet", lambda spark, opts: spark.read.parquet(opts["path"]))

@@ -331,6 +331,58 @@ class TestPatterns:
         assert sorted(app.run("Out")) == [(2, 9), (3, 9)]
 
 
+class TestPatternIndexedAccess:
+    def test_indexed_and_collection_access(self, spark):
+        # ≙ indexed_variable_executor.rs:67 (e1[0].x / e1[last].x) +
+        # collection_aggregation_executor.rs:141 (count(e1), sum(e1.x))
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM T (v INT);
+            CREATE STREAM Out (first_v INT, last_v INT, n INT, total BIGINT, end_v INT);
+            INSERT INTO Out
+            SELECT e1[0].v AS first_v, e1[last].v AS last_v,
+                   count(e1) AS n, sum(e1.v) AS total, e2.v AS end_v
+            FROM PATTERN (EVERY e1=T[v > 0]{2,2} -> e2=T[v < 0]);
+            """
+        )
+        app.send("T", [(1,), (2,), (-5,)])
+        assert app.run("Out") == [(1, 2, 2, 3, -5)]
+
+    def test_indexed_access_out_of_range_is_null(self, spark):
+        # chain shorter than the index -> None (executor returns None when
+        # out of bounds, indexed_variable_executor.rs docstring)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM T (v INT);
+            CREATE STREAM Out (third_v INT, last_v INT);
+            INSERT INTO Out
+            SELECT e1[2].v AS third_v, e1[last].v AS last_v
+            FROM PATTERN (EVERY e1=T[v > 0]{2,2} -> e2=T[v < 0]);
+            """
+        )
+        app.send("T", [(1,), (2,), (-5,)])
+        assert app.run("Out") == [(None, 2)]
+
+    def test_collection_avg_over_variable_chain(self, spark):
+        # {2,3} chain: both the 2-long and 3-long branches emit (EVERY +
+        # count_pre_state_processor.rs forwarding contract)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM T (v INT);
+            CREATE STREAM Out (n INT, mean DOUBLE);
+            INSERT INTO Out
+            SELECT count(e1) AS n, avg(e1.v) AS mean
+            FROM PATTERN (e1=T[v > 0]{2,3} -> e2=T[v < 0]);
+            """
+        )
+        app.send("T", [(2,), (4,), (6,), (-1,)])
+        got = sorted(app.run("Out"))
+        # chains from first start: [2,4] forwarded and [2,4,6] forwarded —
+        # plus the EVERY=False single-start: first completed match wins;
+        # without EVERY only the first start survives, emitting both branches
+        assert got == [(2, 3.0), (3, 4.0)]
+
+
 class TestCompiler:
     def test_time_literals(self):
         assert parse_time_ms("5 MINUTES") == 300000
@@ -477,6 +529,77 @@ class TestTriggers:
         )
         app.send("S", [(1,), (2,), (3,)])
         assert len(app.run("Out")) == 3
+
+    def test_cron_rich_expression(self, spark):
+        # arbitrary 6-field crons (reference accepts any cron-crate expr,
+        # trigger_runtime.rs:47): fire on seconds 2,5-7 of every minute
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE TRIGGER C AT CRON '2,5-7 * * * * *';
+            CREATE STREAM Out (triggered_time TIMESTAMP);
+            INSERT INTO Out SELECT triggered_time FROM C;
+            """
+        )
+        app.send("S", [(i,) for i in range(10)])  # horizon = 10 s
+        out = app.run("Out")
+        assert [t[0].second for t in out] == [2, 5, 6, 7]
+
+    def test_cron_rejects_bad_expression(self, spark):
+        with pytest.raises(ValueError, match="cron"):
+            EventFluxApp(spark).execute(
+                "CREATE TRIGGER C AT CRON '99 * * * * *';"
+            )
+
+
+class TestUnidirectionalJoin:
+    def test_left_unidirectional_emits_on_left_arrivals_only(self, spark):
+        # ≙ EventTrigger::Left (join_input_stream.rs:23-28): only LEFT
+        # arrivals emit — a pair exists iff the right event was already
+        # buffered when the left one arrived
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM A (id INT, av VARCHAR);
+            CREATE STREAM B (id INT, bv VARCHAR);
+            CREATE STREAM Out (av VARCHAR, bv VARCHAR);
+            INSERT INTO Out
+            SELECT A.av, B.bv FROM A UNIDIRECTIONAL JOIN B ON A.id = B.id;
+            """
+        )
+        app.send("B", [(1, "b1")])
+        app.send("A", [(1, "a1")])
+        app.send("B", [(1, "b2")])  # B arrival: no emission
+        assert app.run("Out") == [("a1", "b1")]
+
+    def test_right_unidirectional_emits_on_right_arrivals_only(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM A (id INT, av VARCHAR);
+            CREATE STREAM B (id INT, bv VARCHAR);
+            CREATE STREAM Out (av VARCHAR, bv VARCHAR);
+            INSERT INTO Out
+            SELECT A.av, B.bv FROM A JOIN B UNIDIRECTIONAL ON A.id = B.id;
+            """
+        )
+        app.send("A", [(1, "a1")])
+        app.send("B", [(1, "b1")])
+        app.send("A", [(1, "a2")])  # A arrival: no emission
+        assert app.run("Out") == [("a1", "b1")]
+
+    def test_bidirectional_default_emits_both(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM A (id INT, av VARCHAR);
+            CREATE STREAM B (id INT, bv VARCHAR);
+            CREATE STREAM Out (av VARCHAR, bv VARCHAR);
+            INSERT INTO Out
+            SELECT A.av, B.bv FROM A JOIN B ON A.id = B.id;
+            """
+        )
+        app.send("B", [(1, "b1")])
+        app.send("A", [(1, "a1")])
+        app.send("B", [(1, "b2")])
+        assert sorted(app.run("Out")) == [("a1", "b1"), ("a1", "b2")]
 
 
 class TestTableDML:

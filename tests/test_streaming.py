@@ -211,6 +211,48 @@ class TestExactlyOnceSink:
         assert len(sink.committed_epochs()) >= 2  # multiple micro-batches
 
 
+class TestConnectorRegistry:
+    def test_factory_roundtrip(self, spark, tmpdir, fed_transcripts):
+        # ≙ reference add_source_factory/add_sink_factory + WITH auto-attach
+        # (eventflux_app_runtime.rs auto_attach_from_sql_definitions)
+        from eventflux_engine_spark.streaming import create_sink, create_source
+
+        t, feed_dir = fed_transcripts
+        schema_str = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in t.schema.fields
+        )
+        stream = create_source(
+            "file", spark, {"path": feed_dir, "schema": schema_str}
+        )
+        fb = create_sink(
+            "exactly_once_parquet", {"path": os.path.join(tmpdir, "table")}
+        )
+        q = (
+            stream.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        assert sink.read(spark).count() == t.count() + 1  # + sentinel
+
+    def test_user_registered_connector(self, spark):
+        from eventflux_engine_spark.streaming import create_source, register_source
+
+        register_source(
+            "test_rows",
+            lambda s, opts: s.range(int(opts["n"])).withColumnRenamed("id", "v"),
+        )
+        assert create_source("test_rows", spark, {"n": "5"}).count() == 5
+
+    def test_unknown_connector_raises(self, spark):
+        from eventflux_engine_spark.streaming import create_source
+
+        with pytest.raises(KeyError, match="unknown source"):
+            create_source("rabbitmq", spark, {})
+
+
 class TestCheckpointResume:
     def test_resume_from_checkpoint_no_duplicates(self, spark, tmpdir):
         t = transcripts_df(spark, SF)
