@@ -17,8 +17,9 @@ Scale design (100 TB corpus):
 - LSH banding turns the quadratic all-pairs problem into equi-joins on
   (band_idx, band_key) — the only join is on the band bucket, which is
   uniformly distributed by construction (hash values)
-- SimHash candidate generation joins on 4-bit chunks (pigeonhole: hamming≤3
-  pairs share ≥1 exact chunk of 4) — again an equi-join, no cross join
+- SimHash candidate generation joins on 8-bit chunks (pigeonhole: a 32-bit
+  hash split into 4 chunks — any hamming≤3 pair shares ≥1 exact chunk) —
+  again an equi-join, no cross join
 - exact Jaccard verification runs only on LSH candidates
 """
 
@@ -222,11 +223,22 @@ signatures AS (
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+    sig: DataFrame,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a candidate
     pair. Band key = md5 over the band's signature slice; candidates come
-    from an equi-self-join on (band, key) — never a cross join."""
+    from an equi-self-join on (band, key) — never a cross join.
+
+    ``max_bucket`` bounds the degenerate-band hazard at scale: a bucket of k
+    docs yields k²/2 pairs, so one all-identical-boilerplate bucket can go
+    quadratic. Buckets larger than the cap are EXCLUDED from pair
+    generation (their members are near-certain exact/boilerplate dups —
+    handled by exact dedup, which is cheaper); the cap is a window count
+    over the bucket key, one extra narrow shuffle, deterministic. Default
+    None keeps the exact reference semantics (oracle-gated)."""
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -237,6 +249,13 @@ def lsh_candidate_pairs(
     buckets = band_rows[0]
     for br in band_rows[1:]:
         buckets = buckets.unionByName(br)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        sz = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+        buckets = buckets.withColumn("__bsz", sz).filter(
+            F.col("__bsz") <= max_bucket
+        ).drop("__bsz")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -236,6 +236,92 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENTROIDS_SQL = """
+    centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % 50 = 0 AND vec_id < 2000
+    ), assigned AS (
+      SELECT vec_id, c_id FROM (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {qcos_ec} DESC, c.c_id
+               ) AS rnk
+        FROM embeddings e JOIN centroids c ON true
+      ) WHERE rnk = 1
+    )
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+    WITH {_IVF_CENTROIDS_SQL.strip().format(qcos_ec=SIM.qcosine_sql('e.embedding', 'c.c_emb'))}
+    SELECT q_id, n_id, round(cos_raw, 4) AS cos_sim, cast(rank AS INTEGER) AS rank
+    FROM (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             {SIM.qcosine_sql('q.embedding', 'n.embedding')} AS cos_raw,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {SIM.qcosine_sql('q.embedding', 'n.embedding')} DESC,
+                        n.vec_id) AS rank
+      FROM assigned aq
+      JOIN embeddings q ON q.vec_id = aq.vec_id AND q.vec_id < 10
+      JOIN assigned an ON an.c_id = aq.c_id AND an.vec_id <> aq.vec_id
+      JOIN embeddings n ON n.vec_id = an.vec_id
+    ) WHERE rank <= 3
+    """,
+    doc="IVF ANN search end-to-end: queries probe ONLY their own coarse cell "
+    "(nearest-centroid assignment over the fixed codebook), exact quantized "
+    "cosine ranks the cell members — the candidate set shrinks from N to "
+    "N/k per query, every join an equi-join on (vec_id | cell)",
+)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    w = Window.partitionBy("vec_id").orderBy(
+        SIM.qcosine(F.col("embedding"), F.col("c_emb")).desc(), F.col("c_id")
+    )
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "c_id")
+    )
+    queries = (
+        assigned.filter(F.col("vec_id") < 10)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("c_id").alias("q_cell"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    cand = (
+        assigned.withColumnRenamed("vec_id", "n_id")
+        .join(emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")), "n_id")
+    )
+    paired = queries.join(
+        cand, (F.col("q_cell") == F.col("c_id")) & (F.col("q_id") != F.col("n_id"))
+    )
+    rw = Window.partitionBy("q_id").orderBy(
+        SIM.qcosine(F.col("q_emb"), F.col("n_emb")).desc(), F.col("n_id")
+    )
+    return (
+        paired.withColumn("cos_raw", SIM.qcosine(F.col("q_emb"), F.col("n_emb")))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("cos_raw", 4).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

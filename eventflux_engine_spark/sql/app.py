@@ -690,6 +690,34 @@ class EventFluxApp:
                 )
             elif w.kind == "session":
                 win = f"session_window(__ts, '{w.params[0]} milliseconds')"
+            elif w.kind == "cron":
+                # cron window (window/mod.rs:1742): the buffered batch emits
+                # at every cron tick — batch restatement: each event belongs
+                # to the NEXT tick of the schedule (sql/cron.py); events
+                # after the final tick stay buffered (unemitted)
+                from .cron import Cron
+
+                cron = Cron(str(w.params[0]))
+                horizon = _EPOCH + datetime.timedelta(seconds=self._seq + 61)
+                ticks = [(t,) for t in cron.ticks(_EPOCH, horizon)]
+                if not ticks:
+                    raise ValueError(
+                        f"cron {w.params[0]!r} fires nowhere in the app horizon"
+                    )
+                self.spark.createDataFrame(
+                    ticks, "tick timestamp"
+                ).createOrReplaceTempView("__cron_ticks")
+                src = (
+                    f"(SELECT *, (SELECT min(tick) FROM __cron_ticks"
+                    f" WHERE tick >= __ts) AS __cron_bucket FROM {q.source})"
+                )
+                bucket_ok = "__cron_bucket IS NOT NULL"
+                where = (
+                    f" WHERE ({q.where}) AND {bucket_ok}"
+                    if q.where
+                    else f" WHERE {bucket_ok}"
+                )
+                win = "__cron_bucket"
             elif w.kind == "length" and not is_agg:
                 # passthrough length window → Current+Expired changelog
                 # (app_runner_windows.rs:25-45 contract)

@@ -529,7 +529,9 @@ def _parse_from(frm: str):
         params = []
         for p in raw_params:
             p = p.strip()
-            if re.fullmatch(r"\d+", p):
+            if re.fullmatch(r"'[^']*'", p):
+                params.append(p.strip("'"))  # e.g. cron expressions
+            elif re.fullmatch(r"\d+", p):
                 params.append(int(p))
             else:
                 params.append(parse_time_ms(p))

@@ -156,3 +156,98 @@ class ExactlyOnceParquetSink:
             "total_dlq_rows": sum(c.get("dlq_rows", 0) for c in cs),
             "total_duration_s": round(sum(c["duration_s"] for c in cs), 3),
         }
+
+
+class MergeUpsertParquetSink:
+    """Exactly-once streaming MERGE (UPSERT) sink — the streaming twin of
+    ``operators/dml.merge_upsert`` and of the reference's stream-driven
+    UPSERT (``upsert_table_processor.rs:14-19``).
+
+    Each micro-batch MERGEs into the table: last update per key (by
+    ``order_col``) replaces the matching row or inserts a new one. Commits
+    are epoch-versioned snapshots — a retry of the same epoch is skipped
+    (marker exists) and a crash between data write and marker leaves an
+    orphan version directory readers never see (reads resolve the LATEST
+    committed version). In production the identical protocol is an Iceberg
+    MERGE snapshot; here each version is a parquet dir + JSON marker.
+    """
+
+    def __init__(self, table_dir: str, keys: list[str], order_col: str):
+        self.table_dir = table_dir
+        self.keys = list(keys)
+        self.order_col = order_col
+        self.data_dir = os.path.join(table_dir, "data")
+        self.commit_dir = os.path.join(table_dir, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _commit_path(self, epoch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{epoch_id:020d}.json")
+
+    def is_committed(self, epoch_id: int) -> bool:
+        return os.path.exists(self._commit_path(epoch_id))
+
+    def commits(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.commit_dir)):
+            if f.endswith(".json"):
+                with open(os.path.join(self.commit_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def _latest_version(self) -> int | None:
+        cs = self.commits()
+        return max((c["version"] for c in cs), default=None)
+
+    def write_batch(self, df: DataFrame, epoch_id: int) -> None:
+        from ..operators.dml import merge_upsert
+
+        if self.is_committed(epoch_id):
+            return
+        t0 = time.time()
+        latest = self._latest_version()
+        version = (latest or 0) + 1
+        out_dir = os.path.join(self.data_dir, f"version={version}")
+        if latest is None:
+            # first epoch: the batch itself (last per key) is the table
+            from pyspark.sql import Window
+            from pyspark.sql import functions as _F
+
+            w = Window.partitionBy(*self.keys).orderBy(
+                _F.col(self.order_col).desc()
+            )
+            merged = (
+                df.withColumn("__rn", _F.row_number().over(w))
+                .filter(_F.col("__rn") == 1)
+                .drop("__rn", self.order_col)
+            )
+        else:
+            current = df.sparkSession.read.parquet(
+                os.path.join(self.data_dir, f"version={latest}")
+            )
+            merged = merge_upsert(current, df, self.keys, self.order_col)
+        merged.write.mode("overwrite").parquet(out_dir)
+        lineage = _footer_lineage(out_dir)
+        commit = {
+            "epoch_id": epoch_id,
+            "version": version,
+            "rows": sum(p["rows"] for p in lineage),
+            "partitions": lineage,
+            "duration_s": round(time.time() - t0, 3),
+            "committed_at": time.time(),
+        }
+        tmp = self._commit_path(epoch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(commit, f)
+        os.rename(tmp, self._commit_path(epoch_id))
+
+    def foreach_batch(self):
+        return lambda df, epoch_id: self.write_batch(df, epoch_id)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        latest = self._latest_version()
+        if latest is None:
+            raise ValueError(f"no committed versions in {self.table_dir}")
+        return spark.read.parquet(
+            os.path.join(self.data_dir, f"version={latest}")
+        )

@@ -183,3 +183,55 @@ class TestEmbeddingNearDupLSH:
         assert got <= truth  # no false positives (cosine-verified)
         assert len(got) >= 0.9 * len(truth)  # banded-LSH recall
         assert len(truth) > 0
+
+
+class TestLshBucketCap:
+    def test_degenerate_bucket_capped(self, spark):
+        """A corpus of near-identical boilerplate collapses into one LSH
+        bucket (k docs -> k^2/2 pairs). max_bucket excludes oversized
+        buckets from pair generation, bounding the join output (VERDICT r1
+        plan-audit hazard)."""
+        from eventflux_engine_spark import dedup as DD
+
+        rows = [(i, "the same boilerplate text repeated everywhere") for i in range(40)]
+        rows += [(100, "a genuinely unique document about sparks"),
+                 (101, "a genuinely unique document about sparkly things")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = DD.minhash_signatures(DD.doc_shingles(docs))
+        uncapped = DD.lsh_candidate_pairs(sig).count()
+        capped = DD.lsh_candidate_pairs(sig, max_bucket=10).count()
+        assert uncapped >= 40 * 39 / 2  # quadratic blowup present
+        assert capped < uncapped and capped <= 100  # bounded by the cap
+
+
+class TestMergeEquivalence:
+    def test_merge_upsert_equals_sequential_replay(self, spark):
+        """Property (hypothesis): the batch MERGE form equals event-at-a-time
+        upsert replay for any event sequence — the equivalence the DML scale
+        path (operators/dml.py) rests on."""
+        from hypothesis import given, settings, strategies as st
+
+        from eventflux_engine_spark.operators.dml import merge_upsert
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                min_size=1, max_size=30,
+            )
+        )
+        def check(events):
+            # sequential replay: dict insert-or-replace in arrival order
+            replay: dict[int, int] = {}
+            for k, v in events:
+                replay[k] = v
+            base = spark.createDataFrame([(-1, -1)], "k int, v int")
+            updates = spark.createDataFrame(
+                [(k, v, i) for i, (k, v) in enumerate(events)],
+                "k int, v int, seq long",
+            )
+            merged = merge_upsert(base, updates, ["k"], "seq")
+            got = {r["k"]: r["v"] for r in merged.collect() if r["k"] != -1}
+            assert got == replay
+
+        check()

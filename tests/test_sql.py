@@ -892,3 +892,25 @@ class TestStreamingExecution:
         app2 = EventFluxApp(spark).execute(sql)
         app2.send("T", rows)
         assert sorted(app1.run_streaming("Out")) == sorted(app2.run("Out"))
+
+
+class TestCronWindow:
+    def test_cron_window_batches_per_tick(self, spark):
+        # ≙ cron window (window/mod.rs:1742): buffered events emit as one
+        # batch per cron tick; events after the last tick stay buffered
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (total BIGINT, n BIGINT);
+            INSERT INTO Out
+            SELECT SUM(v) AS total, COUNT(*) AS n
+            FROM S WINDOW('cron', '*/3 * * * * *');
+            """
+        )
+        # app clock 1 s/event; assignment rule: an event belongs to the
+        # EARLIEST tick with tick >= ts (an event arriving exactly at the
+        # tick is included in that tick's batch). Events at ts 0..3 -> tick
+        # 3s; ts 4..6 -> tick 6s.
+        app.send("S", [(1,), (2,), (4,), (8,), (16,), (32,), (64,)])
+        got = sorted(app.run("Out"))
+        assert got == sorted([(15, 4), (112, 3)])

@@ -284,3 +284,42 @@ class TestCheckpointResume:
         run()
         total = sink.read(spark).count()
         assert total == t.count()  # every row exactly once across restarts
+
+
+class TestMergeUpsertSink:
+    """Streaming twin of the stream-driven UPSERT (upsert_table_processor.rs
+    via operators/dml.merge_upsert): epoch-versioned exactly-once MERGE."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "id int, label string, seq long")
+
+    def test_epoch_merge_and_replay_idempotent(self, spark, tmpdir):
+        from eventflux_engine_spark.streaming.sink import MergeUpsertParquetSink
+
+        sink = MergeUpsertParquetSink(
+            os.path.join(tmpdir, "t"), keys=["id"], order_col="seq"
+        )
+        b1 = self._mk(spark, [(1, "a", 0), (2, "b", 1), (1, "a2", 2)])
+        sink.write_batch(b1, 0)
+        sink.write_batch(b1, 0)  # at-least-once replay: must be a no-op
+        state = {r["id"]: r["label"] for r in sink.read(spark).collect()}
+        assert state == {1: "a2", 2: "b"}  # last writer in-batch wins
+        b2 = self._mk(spark, [(2, "b2", 3), (3, "c", 4)])
+        sink.write_batch(b2, 1)
+        state = {r["id"]: r["label"] for r in sink.read(spark).collect()}
+        assert state == {1: "a2", 2: "b2", 3: "c"}
+        assert [c["version"] for c in sink.commits()] == [1, 2]
+
+    def test_uncommitted_version_invisible(self, spark, tmpdir):
+        from eventflux_engine_spark.streaming.sink import MergeUpsertParquetSink
+
+        sink = MergeUpsertParquetSink(
+            os.path.join(tmpdir, "t"), keys=["id"], order_col="seq"
+        )
+        sink.write_batch(self._mk(spark, [(1, "a", 0)]), 0)
+        # crash after data write, before marker: orphan version dir
+        self._mk(spark, [(9, "junk", 9)]).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, "t/data/version=2")
+        )
+        state = {r["id"]: r["label"] for r in sink.read(spark).collect()}
+        assert state == {1: "a"}
