@@ -84,6 +84,52 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_left_outer_immediate_pad",
+    with_transcript_views(
+        """
+        WITH u AS (SELECT conv_id, turn_idx FROM transcripts WHERE role = 'user'),
+        a AS (SELECT conv_id, turn_idx FROM transcripts WHERE role = 'assistant')
+        SELECT u.conv_id, u.turn_idx AS user_turn, a.turn_idx AS assistant_turn
+        FROM u JOIN a ON a.conv_id = u.conv_id
+           AND abs(a.turn_idx - u.turn_idx) <= 2
+        UNION ALL
+        SELECT u.conv_id, u.turn_idx AS user_turn, NULL AS assistant_turn
+        FROM u ANTI JOIN a ON a.conv_id = u.conv_id
+           AND abs(a.turn_idx - u.turn_idx) <= 2
+           AND a.turn_idx < u.turn_idx
+        """
+    ),
+    doc="LEFT OUTER with the reference's EXACT emission contract "
+    "(join_processor.rs:104-112: pad immediately when no match exists AT "
+    "ARRIVAL, never retract when a match arrives later): output = every "
+    "matched pair (each emitted at its second element's arrival) PLUS a "
+    "null-pad for every left event whose buffer held no match when it "
+    "arrived (arrival order = turn order). Batch restatement: join UNION "
+    "anti-join-with-arrival-predicate — upgrades the round-1 'fixtures "
+    "avoid match-after-miss' caveat to full parity.",
+)
+def q_join_immediate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    u = t.filter(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("user_turn")
+    )
+    a = t.filter(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("a_conv"), F.col("turn_idx").alias("assistant_turn")
+    )
+    near = (F.col("a_conv") == F.col("conv_id")) & (
+        F.abs(F.col("assistant_turn") - F.col("user_turn")) <= 2
+    )
+    pairs = u.join(a, near).select("conv_id", "user_turn", "assistant_turn")
+    # pad: no match had ARRIVED yet (assistant turn precedes the user's)
+    pads = u.join(
+        a, near & (F.col("assistant_turn") < F.col("user_turn")), "left_anti"
+    ).select(
+        "conv_id", "user_turn", F.lit(None).cast("int").alias("assistant_turn")
+    )
+    return pairs.unionByName(pads)
+
+
+@register(
     "join_unidirectional_left",
     with_transcript_views(
         """
@@ -688,6 +734,104 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "c_name")
         .limit(10)
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           cast(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style shipping priority: segment-filtered customer dim "
+    "broadcasts into orders, orders broadcast into the lineitem fact scan "
+    "(both date predicates pushed to the parquet scans), partial+final hash "
+    "agg, TakeOrderedAndProject top-10 — no global sort, no fact shuffle "
+    "before aggregation",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.floor(epoch_seconds("o_orderdate")).cast("bigint").alias(
+                "orderdate_epoch"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-style local supplier volume: 5-way star join — region/"
+    "nation/supplier/customer all broadcast into the lineitem fact (Catalyst "
+    "join reordering + broadcast selection), the only shuffle is the final "
+    "per-nation aggregation",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
     )
 
 

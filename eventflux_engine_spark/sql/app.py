@@ -557,7 +557,26 @@ class EventFluxApp:
                 )
                 mode = "append"
             else:
-                raise ValueError("unsupported streaming query shape")
+                # non-windowed GROUP BY: running aggregation. The reference
+                # emits one row per touched group per chunk (update mode);
+                # the drained FINAL state is what batch run() returns, so the
+                # memory sink runs in complete mode (state fully rewritten
+                # per trigger — same final rows, select_processor.rs:483-529)
+                from ..streaming import pipelines as P
+
+                keys = [g.strip() for g in (q.group_by or "").split(",") if g.strip()]
+                aggs = [
+                    F.expr(e).alias(a) if a else F.expr(e)
+                    for e, a in q.select_items
+                    if _AGG_RE.search(e)
+                ]
+                src_f = stream.filter(F.expr(q.where)) if q.where else stream
+                out = P.group_agg_update_stream(src_f, keys, aggs)
+                sel = [
+                    F.col(a or e) for e, a in q.select_items
+                ]
+                out = out.select(*sel)
+                mode = "complete"
 
             qh = (
                 out.writeStream.format("memory").queryName(name)

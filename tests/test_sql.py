@@ -914,3 +914,23 @@ class TestCronWindow:
         app.send("S", [(1,), (2,), (4,), (8,), (16,), (32,), (64,)])
         got = sorted(app.run("Out"))
         assert got == sorted([(15, 4), (112, 3)])
+
+
+class TestStreamingGroupAgg:
+    def test_streaming_group_by_matches_batch(self, spark):
+        # non-windowed GROUP BY as a REAL streaming job: running aggregation,
+        # drained final state == batch result (select_processor.rs:483-529
+        # update contract; complete-mode memory sink holds the final state)
+        sql = """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE STREAM Out (sym VARCHAR, total BIGINT, n BIGINT);
+            INSERT INTO Out
+            SELECT sym, SUM(v) AS total, COUNT(*) AS n FROM S
+            WHERE v > 0 GROUP BY sym;
+        """
+        rows = [("a", 1), ("b", 5), ("a", 2), ("a", -9), ("b", 7), ("c", 4)]
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("S", rows)
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("S", rows)
+        assert sorted(app1.run_streaming("Out")) == sorted(app2.run("Out"))

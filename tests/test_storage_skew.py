@@ -107,3 +107,20 @@ class TestSkew:
         assert naive.exceptAll(salted).count() == 0
         hot = salted.filter(F.col("conv_id") == "conv000000").collect()[0]
         assert hot["n"] > 50_000  # the hot key really is hot
+
+
+class TestPlanShapes:
+    def test_q5_star_join_all_broadcast_single_shuffle(self, spark):
+        """The 5-way star join must broadcast every dimension into the
+        lineitem fact scan: 5 BroadcastHashJoins, zero SortMergeJoins, and
+        exactly ONE hash exchange (the final per-nation aggregation). This
+        is the plan that survives a 100 TB fact table."""
+        from eventflux_engine_spark.plans import QUERIES
+
+        df = QUERIES["tpch_q5_local_supplier_volume"].fn(spark, SF)
+        df.count()  # materialize so AQE finalizes the physical plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 5
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan

@@ -323,3 +323,52 @@ class TestMergeUpsertSink:
         )
         state = {r["id"]: r["label"] for r in sink.read(spark).collect()}
         assert state == {1: "a"}
+
+
+class TestStreamingQuantifiedChain:
+    def test_streaming_quantified_chain_matches_batch(self, spark, tmpdir):
+        """Round-2 features flow through the SHARED transition core: a
+        quantified step with collection aggregates and indexed access runs
+        identically in the streaming executor (applyInPandasWithState) and
+        the batch matcher."""
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for conv in ("c1", "c2"):
+            for i in range(8):
+                role = "user" if i % 3 != 2 else "assistant"
+                rows.append(
+                    (conv, i, role, f"t{i}", "",
+                     base + datetime.timedelta(minutes=5 * i))
+                )
+        sentinel = ("__sentinel__", 0, "user", "", "", datetime.datetime(2024, 6, 1))
+        t = spark.createDataFrame(rows + [sentinel], schema=TRANSCRIPT_SCHEMA)
+        feed_dir = os.path.join(tmpdir, "feed")
+        chunked_feed(t, feed_dir, 4, ["ts", "conv_id", "turn_idx"])
+
+        def flags(df):
+            return _flagged(df).withColumn("tlen", F.length("text"))
+
+        spec = PatternSpec(
+            steps=(
+                Step("e1", "is_user", min_count=2, max_count=2,
+                     agg_emit=(("sum", "tlen"),),
+                     index_emit=((0, "turn_idx"), ("last", "turn_idx"))),
+                Step("e2", "is_assistant"),
+            ),
+            within=pd.Timedelta(hours=2),
+        )
+        stream = flags(stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA))
+        out = match_pattern_stream(stream, spec, watermark_delay="10 minutes")
+        name = _run_to_memory(out, "qchain_out")
+        got = (
+            spark.sql(f"SELECT * FROM {name}")
+            .filter(F.col("conv_id") != "__sentinel__")
+            .toPandas()
+        )
+        want = match_pattern_batch(
+            flags(spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)), spec
+        ).toPandas()
+        assert len(want) > 0
+        pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
