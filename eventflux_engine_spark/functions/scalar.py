@@ -31,6 +31,20 @@ def _truncate(c: Column) -> Column:
     return F.when(c >= 0, F.floor(c)).otherwise(F.ceil(c)).cast("double")
 
 
+_INTERVAL_KW = {
+    "YEAR": "years", "MONTH": "months", "WEEK": "weeks", "DAY": "days",
+    "HOUR": "hours", "MINUTE": "mins", "SECOND": "secs",
+}
+
+
+def _date_add(unit: str, n, ts: Column) -> Column:
+    """dateAdd(unit, n, ts) — interval arithmetic on the timestamp column
+    (reference date_functions.rs dateAdd)."""
+    kw = _INTERVAL_KW[unit.upper().rstrip("S")]
+    n = n if isinstance(n, Column) else F.lit(n)
+    return ts.cast("timestamp") + F.make_interval(**{kw: n})
+
+
 def _instance_of(type_name: str):
     def check(c: Column) -> Column:
         # static schema → constant; kept as an expression for API parity
@@ -92,7 +106,7 @@ SCALAR_FUNCTIONS: dict[str, callable] = {
     "eventTimestamp": lambda ts: ts,
     "formatDate": F.date_format,
     "parseDate": F.to_timestamp,
-    "dateAdd": lambda unit, n, ts: F.timestampadd(unit, n, ts),
+    "dateAdd": lambda unit, n, ts: _date_add(unit, n, ts),
     # --- conversion / null handling ---
     "cast": lambda c, t: c.cast(t),
     "convert": lambda c, t: c.try_cast(t) if hasattr(c, "try_cast") else c.cast(t),

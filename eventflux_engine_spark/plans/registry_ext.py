@@ -377,6 +377,62 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_functions_ext",
+    with_transcript_views(
+        """
+        SELECT turn_idx,
+               round(tan(turn_idx % 3), 4) AS f_tan,
+               round(asin((turn_idx % 3) / 3.0), 4) AS f_asin,
+               round(acos((turn_idx % 3) / 3.0), 4) AS f_acos,
+               round(atan(turn_idx % 7), 4) AS f_atan,
+               (trunc((turn_idx - 30) / 7.0) + 0) AS f_trunc,
+               cast(sign(turn_idx - 30) AS DOUBLE) AS f_sign,
+               left(text, 5) AS s_left,
+               right(role, 3) AS s_right,
+               (role LIKE 'u%') AS s_like,
+               chr(ascii(role)) AS s_chr,
+               strpos(text, 'turn') AS s_instr,
+               strftime(ts, '%Y-%m-%d %H') AS d_format,
+               cast(floor(epoch(ts + INTERVAL 3 HOUR)) AS BIGINT) AS d_add_epoch,
+               cast(floor(epoch(strptime('2024-01-05 12:00:00',
+                    '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS d_parse_epoch
+        FROM transcripts WHERE conv_id <= 'conv000009'
+        """
+    ),
+    doc="scalar builtin coverage part 2 — the functions round 1 left "
+    "ungated: tan/asin/acos/atan, trunc (toward zero), sign, left/right, "
+    "LIKE, chr, instr, formatDate/parseDate/dateAdd "
+    "(feat/builtin_functions/README.md:95-265) — all JVM built-ins",
+)
+def q_scalar_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import SCALAR_FUNCTIONS as SFN
+
+    t = transcripts_df(spark, sf_dir).filter(F.col("conv_id") <= "conv000009")
+    ti = F.col("turn_idx")
+    return t.select(
+        "turn_idx",
+        F.round(SFN["tan"](ti % 3), 4).alias("f_tan"),
+        F.round(SFN["asin"]((ti % 3) / 3.0), 4).alias("f_asin"),
+        F.round(SFN["acos"]((ti % 3) / 3.0), 4).alias("f_acos"),
+        F.round(SFN["atan"](ti % 7), 4).alias("f_atan"),
+        SFN["trunc"]((ti - 30) / 7.0).alias("f_trunc"),
+        SFN["sign"]((ti - 30).cast("double")).alias("f_sign"),
+        SFN["left"](F.col("text"), 5).alias("s_left"),
+        SFN["right"](F.col("role"), 3).alias("s_right"),
+        SFN["like"](F.col("role"), "u%").alias("s_like"),
+        SFN["chr"](F.ascii("role")).alias("s_chr"),
+        SFN["instr"](F.col("text"), "turn").alias("s_instr"),
+        SFN["formatDate"](F.col("ts"), "yyyy-MM-dd HH").alias("d_format"),
+        F.floor(
+            epoch_seconds(SFN["dateAdd"]("HOUR", F.lit(3), F.col("ts")))
+        ).cast("bigint").alias("d_add_epoch"),
+        F.floor(
+            epoch_seconds(SFN["parseDate"](F.lit("2024-01-05 12:00:00")))
+        ).cast("bigint").alias("d_parse_epoch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # mappers (≙ reference JSON/CSV source mappers, SURVEY §2.1): parsing is a
 # Catalyst expression (from_json/from_csv), not custom runtime code

@@ -269,6 +269,15 @@ def qlsh_bucket_sql(
 NEAR_DUP_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2, 3), (4, 5, 6, 7))
 
 
+def _qdot_arrays(qa: Column, qb: Column) -> Column:
+    """Exact bigint dot over already-quantized bigint arrays."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def embedding_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.99,
@@ -280,31 +289,56 @@ def embedding_near_dup_lsh(
 
     Two 4-plane bands: a pair is a candidate if it agrees on either band —
     recall ≈ 1-(1-p⁴)² (~0.99 at cos 0.995) while each band keeps buckets
-    small. A pair found by both bands is scored twice and collapsed by the
-    final DISTINCT on (pair, rounded cosine) — bounded 2× duplication beats
-    re-joining embeddings onto a deduped pair list.
+    small.
+
+    Cost shape: each vector is quantized and normed ONCE up front; candidate
+    pairs are DEDUPED across bands before verification, so the expensive
+    64-element dot fold runs exactly once per unique candidate pair (the
+    standard candidates→verify join of a production dedup pipeline).
     """
+    dim = len(hyperplanes(1)[0])
+    qarr = F.transform(
+        F.col("embedding"), lambda x: _quant(x)
+    )
+    base = emb.select("vec_id", qarr.alias("qe")).withColumn(
+        "qnorm", F.sqrt(_qdot_arrays(F.col("qe"), F.col("qe")).cast("double"))
+    )
+    planes = hyperplanes(max(max(b) for b in bands) + 1, dim)
     banded = None
     for bi, plane_ids in enumerate(bands):
-        part = emb.select(
-            F.lit(bi).alias("band"),
-            qlsh_bucket(F.col("embedding"), plane_ids).alias("bkey"),
-            "vec_id",
-            "embedding",
+        bucket = F.lit(0)
+        for k, j in enumerate(plane_ids):
+            arr = F.array(*[F.lit(v).cast("bigint") for v in _qplane(planes[j])])
+            d = _qdot_arrays(F.col("qe"), arr)
+            bucket = bucket + F.when(d > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        part = base.select(
+            F.lit(bi).alias("band"), bucket.cast("int").alias("bkey"), "vec_id"
         )
         banded = part if banded is None else banded.unionByName(part)
-    a = banded.select(
-        "band", "bkey", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
-    )
-    b = banded.select(
-        "band", "bkey", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
-    )
-    cand = a.join(b, ["band", "bkey"]).filter(F.col("vec_a") < F.col("vec_b"))
-    return (
-        cand.withColumn("cos_raw", qcosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos_raw") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    a = banded.select("band", "bkey", F.col("vec_id").alias("vec_a"))
+    b = banded.select("band", "bkey", F.col("vec_id").alias("vec_b"))
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .distinct()
+    )
+    pa = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"),
+        F.col("qnorm").alias("na"),
+    )
+    pb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"),
+        F.col("qnorm").alias("nb"),
+    )
+    scored = pairs.join(pa, "vec_a").join(pb, "vec_b").withColumn(
+        "cos_raw",
+        _qdot_arrays(F.col("qa"), F.col("qb")).cast("double")
+        / (F.col("na") * F.col("nb")),
+    )
+    return (
+        scored.filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
     )
 
 
