@@ -79,4 +79,21 @@ register_sink(
         opts["path"], dlq_condition=opts.get("dlq_condition")
     ).foreach_batch(),
 )
+
+
+def _log_sink(opts: dict):
+    """Log/console sink (≙ reference LogSink): per-epoch row counts via a
+    Python logger — a passthrough observer, not a delivery guarantee."""
+    import logging
+
+    log = logging.getLogger(opts.get("logger", "eventflux.sink.log"))
+    prefix = opts.get("prefix", "")
+
+    def fb(df, epoch_id):
+        log.info("%sepoch=%d rows=%d", prefix, epoch_id, df.count())
+
+    return fb
+
+
+register_sink("log", _log_sink)
 register_table("parquet", lambda spark, opts: spark.read.parquet(opts["path"]))

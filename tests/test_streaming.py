@@ -372,3 +372,25 @@ class TestStreamingQuantifiedChain:
         ).toPandas()
         assert len(want) > 0
         pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
+
+
+def test_log_sink_observes_epochs(spark, tmpdir, fed_transcripts, caplog):
+    # ≙ reference LogSink: passthrough observer logging per-epoch counts
+    import logging
+
+    from eventflux_engine_spark.streaming import create_sink
+
+    t, feed_dir = fed_transcripts
+    fb = create_sink("log", {"logger": "efs.test.log", "prefix": "t "})
+    stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+    with caplog.at_level(logging.INFO, logger="efs.test.log"):
+        q = (
+            stream.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    msgs = [r.message for r in caplog.records if r.name == "efs.test.log"]
+    assert len(msgs) >= 2  # one line per micro-batch
+    assert sum(int(m.split("rows=")[1]) for m in msgs) == t.count() + 1
