@@ -9,11 +9,13 @@ engine treats them as first-class columns:
   filters/partitioning work WITHOUT decoding (predicate pushdown on meta,
   payload column pruned unless a stage needs bytes).
 - **decode / feature-extract / resize / frame-sample**: Arrow-batched
-  ``mapInPandas`` operators. The real decoders (PIL / torchaudio / pyav) are
-  NOT in this container, so the decode step is STUBBED behind an import-try:
-  with libs present the real path runs; here a clearly-marked deterministic
-  fake parses the payload header instead. The Spark-side plumbing — schema,
-  batch shape, partitioning, UDF signatures — is real and tested.
+  ``mapInPandas`` operators. The synthetic container (ASCII header + raw
+  8-bit samples) gets a REAL decoder — :func:`decode_sample_stats` does the
+  WAV-PCM-style header math + ``np.frombuffer`` sample view, oracle-gated
+  byte-for-byte (multimodal_decode_stats). External codecs (PIL /
+  torchaudio / pyav) are NOT in this container, so those paths stay STUBBED
+  behind an import-try; the Spark-side plumbing — schema, batch shape,
+  partitioning, UDF signatures — is real and tested.
 
 Deterministic derivation: assets derive from ``documents`` (payload =
 ASCII header + UTF-8 text bytes), so every aggregate over payload bytes has
@@ -157,6 +159,53 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return assets.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+_DECODE_SCHEMA = (
+    "asset_id long, kind string, n_samples int, px_mean_q long, "
+    "px_min int, px_max int"
+)
+
+
+def decode_sample_stats(assets: DataFrame) -> DataFrame:
+    """REAL decode of the synthetic uncompressed container (≙ WAV-PCM /
+    raw-raster header math — no external codec needed): parse the ASCII
+    header, view the body as raw 8-bit samples (``np.frombuffer``, zero
+    copy), reduce with vectorized numpy. Unlike :func:`extract_features`'
+    codec stubs, THIS decode is exact and oracle-checkable — the body bytes
+    are ASCII, so DuckDB recomputes the same sample values via
+    ``ascii(substr(...))``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, ns, means, mins, maxs = [], [], [], [], [], []
+            for aid, b, m in zip(pdf["asset_id"], pdf["payload"], pdf["meta"]):
+                raw = bytes(b)
+                sep = raw.index(b";")  # header terminator
+                body = np.frombuffer(raw, dtype=np.uint8, offset=sep + 1)
+                ids.append(aid)
+                kinds.append(m["kind"])
+                ns.append(len(body))
+                # floor-quantized mean (x10^4): round() half-even vs
+                # DuckDB's half-away flips the last digit at exact halves
+                means.append(
+                    int(np.floor(float(body.mean()) * 10_000)) if len(body) else 0
+                )
+                mins.append(int(body.min()) if len(body) else 0)
+                maxs.append(int(body.max()) if len(body) else 0)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "kind": kinds,
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "px_mean_q": means,
+                    "px_min": pd.Series(mins, dtype="int32"),
+                    "px_max": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:

@@ -961,3 +961,36 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("meta.width"), 4).alias("avg_width"),
         F.max("meta.duration_ms").alias("max_duration_ms"),
     )
+
+
+@register(
+    "multimodal_decode_stats",
+    f"""
+    WITH {MM.ASSETS_CTE.strip()}, body AS (
+      SELECT asset_id, kind,
+             substr(payload_str, strpos(payload_str, ';') + 1) AS body
+      FROM assets
+    )
+    SELECT asset_id, kind,
+           cast(length(body) AS INTEGER) AS n_samples,
+           cast(floor(list_aggregate(codes, 'avg') * 10000) AS BIGINT)
+             AS px_mean_q,
+           cast(list_aggregate(codes, 'min') AS INTEGER) AS px_min,
+           cast(list_aggregate(codes, 'max') AS INTEGER) AS px_max
+    FROM (
+      SELECT asset_id, kind, body,
+             list_transform(generate_series(1, length(body)),
+                            i -> ascii(substr(body, i, 1))) AS codes
+      FROM body
+    )
+    """,
+    doc="REAL multimodal decode (multimodal.decode_sample_stats): header "
+    "parse + np.frombuffer raw 8-bit sample view + vectorized numpy "
+    "reductions — the WAV-PCM/raw-raster header-math decode that needs no "
+    "external codec. Oracle recomputes the same sample values byte-by-byte "
+    "(ASCII body), so the decode step itself is value-hash-gated — the "
+    "codec stubs (PIL/pyav) remain stubs for external formats only.",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = MM.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    return MM.decode_sample_stats(assets)
