@@ -549,7 +549,19 @@ class EventFluxApp:
                      and not c.startswith(("window_", "session_", "__"))]]))
                 mode = "append"
             elif not is_agg:
-                out = stream
+                out = stream.alias(q.source)
+                # stream-table enrichment joins: the bound table state
+                # broadcasts into every micro-batch (≙ TableJoinProcessor's
+                # per-event compiled probe, table_join_processor.rs:17-137)
+                for how, sname, cond, _trig in q.joins:
+                    if not self.streams[sname].is_table:
+                        raise ValueError(
+                            "run_streaming joins support TABLE partners only"
+                        )
+                    static = self.stream_df(sname).drop("__seq", "__ts")
+                    out = out.join(
+                        F.broadcast(static.alias(sname)), F.expr(cond), how
+                    )
                 if q.where:
                     out = out.filter(F.expr(q.where))
                 out = out.selectExpr(

@@ -209,17 +209,13 @@ class MergeUpsertParquetSink:
         version = (latest or 0) + 1
         out_dir = os.path.join(self.data_dir, f"version={version}")
         if latest is None:
-            # first epoch: the batch itself (last per key) is the table
-            from pyspark.sql import Window
-            from pyspark.sql import functions as _F
-
-            w = Window.partitionBy(*self.keys).orderBy(
-                _F.col(self.order_col).desc()
-            )
-            merged = (
-                df.withColumn("__rn", _F.row_number().over(w))
-                .filter(_F.col("__rn") == 1)
-                .drop("__rn", self.order_col)
+            # first epoch: the batch itself (last per key) is the table —
+            # max_by hash agg, same skew-safe form as merge_upsert
+            val_cols = [
+                c for c in df.columns if c not in (*self.keys, self.order_col)
+            ]
+            merged = df.groupBy(*self.keys).agg(
+                *[F.max_by(c, F.col(self.order_col)).alias(c) for c in val_cols]
             )
         else:
             current = df.sparkSession.read.parquet(

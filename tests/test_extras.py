@@ -235,3 +235,62 @@ class TestMergeEquivalence:
             assert got == replay
 
         check()
+
+
+class TestCascadeProperty:
+    def test_cascade_rollup_equals_direct_aggregation(self, spark):
+        """Property (hypothesis): for any event set, the HOURS level of the
+        AGGREGATE EVERY cascade (re-aggregated from MINUTES partials) equals
+        aggregating the raw rows at hour granularity directly — the
+        algebraic-rollup invariant incremental_executor.rs relies on."""
+        import datetime
+
+        from hypothesis import given, settings, strategies as st
+        from pyspark.sql import functions as SF
+
+        from eventflux_engine_spark.operators.incremental import (
+            IncrementalAggregation,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["a", "b"]),
+                    st.integers(-50, 50),
+                    st.integers(0, 5_000),  # minutes offset (~3.5 days)
+                ),
+                min_size=1, max_size=40,
+            )
+        )
+        def check(events):
+            rows = [
+                (k, v, base + datetime.timedelta(minutes=m)) for k, v, m in events
+            ]
+            df = spark.createDataFrame(rows, "k string, v int, ts timestamp")
+            inc = IncrementalAggregation(
+                df, "ts", ["k"],
+                {"total": ("sum", "v"), "n": ("count", "*"),
+                 "mx": ("max", "v"), "mean": ("avg", "v")},
+                ["MINUTES", "HOURS"],
+            )
+            got = {
+                (r["k"], r["bucket_start"]): (r["total"], r["n"], r["mx"], r["mean"])
+                for r in inc.query("HOURS").collect()
+            }
+            want = {
+                (r["k"], r["b"]): (r["total"], r["n"], r["mx"], r["mean"])
+                for r in df.groupBy(
+                    "k", SF.date_trunc("hour", "ts").alias("b")
+                ).agg(
+                    SF.sum("v").alias("total"),
+                    SF.count("*").alias("n"),
+                    SF.max("v").alias("mx"),
+                    SF.avg("v").alias("mean"),
+                ).collect()
+            }
+            assert got == want
+
+        check()

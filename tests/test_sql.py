@@ -934,3 +934,41 @@ class TestStreamingGroupAgg:
         app2 = EventFluxApp(spark).execute(sql)
         app2.send("S", rows)
         assert sorted(app1.run_streaming("Out")) == sorted(app2.run("Out"))
+
+
+class TestStreamingEnrichmentJoin:
+    def test_streaming_table_join_matches_batch(self, spark):
+        # stream-table enrichment as a REAL streaming job: the bound table
+        # broadcasts into each micro-batch (table_join_processor.rs analog)
+        sql = """
+            CREATE STREAM Trades (symbol VARCHAR, price DOUBLE);
+            CREATE TABLE News (symbol VARCHAR, headline VARCHAR);
+            CREATE STREAM Out (symbol VARCHAR, price DOUBLE, headline VARCHAR);
+            INSERT INTO Out
+            SELECT Trades.symbol, Trades.price, News.headline
+            FROM Trades JOIN News ON Trades.symbol = News.symbol;
+        """
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("News", [("AAPL", "up"), ("MSFT", "down")])
+        app1.send("Trades", [("AAPL", 190.0), ("GOOG", 140.0), ("MSFT", 410.0)])
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("News", [("AAPL", "up"), ("MSFT", "down")])
+        app2.send("Trades", [("AAPL", 190.0), ("GOOG", 140.0), ("MSFT", 410.0)])
+        assert sorted(app1.run_streaming("Out")) == sorted(app2.run("Out"))
+
+    def test_streaming_left_join_null_padding(self, spark):
+        sql = """
+            CREATE STREAM Orders (id INT, symbol VARCHAR);
+            CREATE TABLE Fills (order_id INT, quantity INT);
+            CREATE STREAM Out (id INT, quantity INT);
+            INSERT INTO Out
+            SELECT Orders.id, Fills.quantity
+            FROM Orders LEFT JOIN Fills ON Orders.id = Fills.order_id;
+        """
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("Fills", [(1, 100)])
+        app1.send("Orders", [(1, "A"), (2, "B")])
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("Fills", [(1, 100)])
+        app2.send("Orders", [(1, "A"), (2, "B")])
+        assert app1.run_streaming("Out") == app2.run("Out")
