@@ -294,3 +294,37 @@ class TestCascadeProperty:
             assert got == want
 
         check()
+
+
+class TestMergePlanShape:
+    def test_merge_upsert_uses_partial_aggregation_not_window(self, spark):
+        """merge_upsert's per-key top-1 must be a hash aggregation with
+        map-side partials (skew-safe), never a Window sort."""
+        from eventflux_engine_spark.operators.dml import merge_upsert
+
+        base = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("old").alias("v")
+        )
+        upd = spark.range(1000).select(
+            (F.col("id") % 50).alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.col("id").alias("seq"),
+        )
+        out = merge_upsert(base, upd, ["k"], "seq")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "partial_max_by" in plan  # map-side combine before the shuffle
+        # correctness: last writer per key wins
+        got = {r["k"]: r["v"] for r in out.collect()}
+        for k in range(50):
+            assert got[k] == f"v{950 + k}"
+        for k in range(50, 100):
+            assert got[k] == "old"
+
+
+class TestUuid:
+    def test_uuid_scalar_is_unique_per_row(self, spark):
+        from eventflux_engine_spark.functions.scalar import SCALAR_FUNCTIONS
+
+        df = spark.range(500).select(SCALAR_FUNCTIONS["uuid"]().alias("u"))
+        assert df.distinct().count() == 500
