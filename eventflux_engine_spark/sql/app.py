@@ -63,6 +63,7 @@ class EventFluxApp:
         self._rows: dict[str, list[tuple]] = {}
         #: final table states after DML replay / on-demand mutation
         self._table_final: dict[str, list[dict]] = {}
+        self._dml_cache: dict[int, dict] = {}
         self._seq = 0
 
     # -- DDL / DML registration ------------------------------------------
@@ -239,26 +240,38 @@ class EventFluxApp:
         self._table_final[name] = state
         return state
 
+    def _dml_compiled(self, d: DmlDef, cols: list[str]) -> dict:
+        """Per-statement compiled callables (cached — the replay loop calls
+        this once per EVENT, the regex compilation must not repeat)."""
+        key = id(d)
+        if key not in self._dml_cache:
+            self._dml_cache[key] = {
+                "cond": self._compile_dml_expr(d.condition, d, cols),
+                "setters": [
+                    (col, self._compile_dml_expr(expr, d, cols))
+                    for col, expr in d.set_items
+                ],
+                "select": [
+                    self._compile_dml_expr(expr, d, cols, prefer_event=True)
+                    for expr, _ in d.select_items
+                ],
+            }
+        return self._dml_cache[key]
+
     def _apply_mutation(
         self, state: list[dict], d: DmlDef, event: dict, cols: list[str], seq: int
     ) -> None:
-        cond = self._compile_dml_expr(d.condition, d, cols)
+        compiled = self._dml_compiled(d, cols)
+        cond = compiled["cond"]
         if d.kind == "update":
-            setters = [
-                (col, self._compile_dml_expr(expr, d, cols))
-                for col, expr in d.set_items
-            ]
             for row in state:
                 if cond(row, event):
-                    new = {col: fn(row, event) for col, fn in setters}
+                    new = {col: fn(row, event) for col, fn in compiled["setters"]}
                     row.update(new)
         elif d.kind == "delete":
             state[:] = [row for row in state if not cond(row, event)]
         elif d.kind == "upsert":
-            vals = [
-                self._compile_dml_expr(expr, d, cols, prefer_event=True)({}, event)
-                for expr, _ in d.select_items
-            ]
+            vals = [fn({}, event) for fn in compiled["select"]]
             if len(vals) != len(cols):
                 raise ValueError(
                     f"UPSERT INTO {d.table}: SELECT yields {len(vals)} values, "
