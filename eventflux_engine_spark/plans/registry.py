@@ -704,6 +704,40 @@ def q_pattern_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_sequence_strict",
+    with_transcript_views(
+        """
+        SELECT conv_id, turn_idx AS e1_turn, next_turn AS e2_turn
+        FROM (
+          SELECT conv_id, turn_idx, role,
+                 lead(role) OVER w AS next_role,
+                 lead(turn_idx) OVER w AS next_turn
+          FROM transcripts
+          WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        ) WHERE role = 'user' AND next_role = 'assistant'
+        """
+    ),
+    doc="SEQUENCE strict mode (PATTERN_PROCESSING.md:69-72): a non-matching "
+    "event KILLS the partial match, so e1=user , e2=assistant only fires "
+    "when the assistant is the IMMEDIATE next event of the conversation — "
+    "oracle is a lead() window over arrival order",
+)
+def q_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _flagged_transcripts(spark, sf_dir)
+    spec = PatternSpec(
+        steps=(Step("e1", "is_user"), Step("e2", "is_assistant")),
+        every=True,
+        mode="sequence",
+    )
+    m = match_pattern_batch(t, spec)
+    return m.select(
+        "conv_id",
+        F.col("e1_turn_idx").alias("e1_turn"),
+        F.col("e2_turn_idx").alias("e2_turn"),
+    )
+
+
+@register(
     "pattern_quantified_chain",
     with_transcript_views(
         """
