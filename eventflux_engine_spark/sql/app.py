@@ -478,7 +478,36 @@ class EventFluxApp:
         if len(qs) != 1:
             raise ValueError("run_streaming supports exactly one query per target")
         q = qs[0]
-        source = q.pattern.steps[0].stream if q.pattern else q.source
+        # chained queries (junction composition, stream_junction.rs): walk
+        # back through INSERT INTO chains — every intermediate stage must be
+        # row-level (filter/projection) and is applied as a transformation
+        # on the SAME streaming DataFrame; only the head stream is fed
+        prelude: list[QueryDef] = []
+        head = q.pattern.steps[0].stream if q.pattern else q.source
+        while True:
+            ups = [u for u in self.queries if u.target == head]
+            if not ups:
+                break
+            if len(ups) != 1:
+                raise ValueError(
+                    f"run_streaming chains need exactly one query into {head}"
+                )
+            u = ups[0]
+            if self._rows.get(head):
+                raise ValueError(
+                    f"stream {head} is both sent-to and query-fed; streaming "
+                    "chains support one producer"
+                )
+            if u.pattern or u.window or u.group_by or u.joins or any(
+                _AGG_RE.search(e) for e, _ in u.select_items
+            ):
+                raise ValueError(
+                    "streaming chain intermediates must be row-level "
+                    f"filter/projection (stage into {head} is not)"
+                )
+            prelude.insert(0, u)
+            head = u.source
+        source = head
         if q.pattern and len({s.stream for s in q.pattern.steps}) > 1:
             raise ValueError("run_streaming patterns must use a single stream")
 
@@ -519,6 +548,21 @@ class EventFluxApp:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(feed_dir)
             )
+            # apply chained row-level stages on the same streaming plan —
+            # the junction between stages is an in-plan projection, no
+            # re-materialization (stream_junction.rs fan-through analog)
+            for u in prelude:
+                s2 = stream
+                if u.where:
+                    # the watermark sentinel must SURVIVE stage predicates or
+                    # downstream event-time operators never flush
+                    s2 = s2.filter(
+                        F.expr(u.where) | (F.col("__seq") >= 10**9)
+                    )
+                stream = s2.selectExpr(
+                    *[f"{e} AS {a}" if a else e for e, a in u.select_items],
+                    "__seq", "__ts",
+                )
 
             name = f"__sqlstream_{target.lower()}"
             is_agg = bool(q.group_by) or any(

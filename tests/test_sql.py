@@ -972,3 +972,53 @@ class TestStreamingEnrichmentJoin:
         app2.send("Fills", [(1, 100)])
         app2.send("Orders", [(1, "A"), (2, "B")])
         assert app1.run_streaming("Out") == app2.run("Out")
+
+
+class TestStreamingChains:
+    def test_chained_queries_stream_matches_batch(self, spark):
+        # junction composition as ONE streaming plan: row-level stage feeds
+        # a windowed aggregation (stream_junction.rs fan-through analog)
+        sql = """
+            CREATE STREAM Raw (sym VARCHAR, price DOUBLE);
+            CREATE STREAM Clean (sym VARCHAR, cents BIGINT);
+            CREATE STREAM Out (sym VARCHAR, total BIGINT);
+            INSERT INTO Clean
+            SELECT sym, CAST(price * 100 AS BIGINT) AS cents FROM Raw WHERE price > 0;
+            INSERT INTO Out
+            SELECT sym, SUM(cents) AS total
+            FROM Clean WINDOW('tumbling', 5 SECONDS) GROUP BY sym;
+        """
+        rows = [("a", 1.5), ("a", -9.0), ("b", 2.0), ("a", 3.0), ("b", 0.5),
+                ("a", 10.0), ("b", 20.0)]
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("Raw", rows)
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("Raw", rows)
+        assert sorted(app1.run_streaming("Out")) == sorted(app2.run("Out"))
+
+    def test_chained_row_level_stages(self, spark):
+        sql = """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Mid (w INT);
+            CREATE STREAM Out (w INT);
+            INSERT INTO Mid SELECT v * 2 AS w FROM S WHERE v > 1;
+            INSERT INTO Out SELECT w FROM Mid WHERE w < 8;
+        """
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("S", [(1,), (2,), (3,), (4,)])
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("S", [(1,), (2,), (3,), (4,)])
+        assert app1.run_streaming("Out") == app2.run("Out") == [(4,), (6,)]
+
+    def test_chain_rejects_aggregating_intermediate(self, spark):
+        sql = """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Mid (t BIGINT);
+            CREATE STREAM Out (t BIGINT);
+            INSERT INTO Mid SELECT SUM(v) AS t FROM S;
+            INSERT INTO Out SELECT t FROM Mid WHERE t > 0;
+        """
+        app = EventFluxApp(spark).execute(sql)
+        app.send("S", [(1,)])
+        with pytest.raises(ValueError, match="row-level"):
+            app.run_streaming("Out")
