@@ -464,8 +464,13 @@ class EventFluxApp:
         a far-future flush sentinel), the query runs with watermarks, output
         drains from a memory sink.
 
-        Supported shapes: row-level filter/projection, windowed aggregation
-        (tumbling/sliding/session + GROUP BY), single-stream patterns.
+        Supported terminal shapes: row-level filter/projection (incl.
+        stream-table enrichment joins — bound table broadcast per
+        micro-batch), windowed aggregation (tumbling/sliding/session +
+        GROUP BY), non-windowed GROUP BY (running agg, complete-mode drain),
+        single-stream patterns. INSERT INTO chains compile into ONE
+        streaming plan: row-level intermediate stages apply in-plan
+        (junction fan-through, stream_junction.rs analog).
         ≙ the reference's actual runtime mode (runtime.start() + sources,
         eventflux_app_runtime.rs:674) — the batch ``run()`` is its replay
         twin; parity between the two is pytest-asserted.
