@@ -676,24 +676,23 @@ class EventFluxApp:
         df = stream.withColumn("conv_id", F.lit("__global__")).withColumn(
             "turn_idx", F.col("__seq").cast("int")
         ).withColumn("ts", F.col("__ts"))
+        select_plan, referenced, agg_emits, index_emits = _pattern_select_plan(
+            q.select_items, p.steps
+        )
         steps = []
-        referenced: dict[str, set] = {s.alias: set() for s in p.steps}
-        select_plan = []
-        stream_to_alias = {}
-        for s in p.steps:
-            stream_to_alias.setdefault(s.stream, s.alias)
-        for expr, alias in q.select_items:
-            rm = re.fullmatch(r"(\w+)\.(\w+)", expr.strip())
-            a = rm.group(1) if rm.group(1) in referenced else stream_to_alias[rm.group(1)]
-            referenced[a].add(rm.group(2))
-            select_plan.append((a, rm.group(2), alias or rm.group(2)))
         for sdef in p.steps:
             flag = f"__is_{sdef.alias}"
             cond = F.lit(True) if not sdef.condition else F.expr(sdef.condition)
             df = df.withColumn(flag, cond & F.col("__seq").isNotNull() & (F.col("__seq") < 10**9))
             steps.append(
-                Step(sdef.alias, flag, sdef.min_count, sdef.max_count,
-                     emit=tuple(sorted(referenced[sdef.alias])))
+                Step(
+                    sdef.alias, flag, sdef.min_count, sdef.max_count,
+                    emit=tuple(sorted(referenced[sdef.alias])),
+                    agg_emit=tuple(sorted(agg_emits[sdef.alias])),
+                    index_emit=tuple(
+                        sorted(index_emits[sdef.alias], key=lambda t: (str(t[0]), t[1]))
+                    ),
+                )
             )
         spec = PatternSpec(
             steps=tuple(steps),
@@ -703,7 +702,7 @@ class EventFluxApp:
         m = match_pattern_stream(df, spec, watermark_delay=watermark)
         last = spec.steps[-1].name
         return m.select(
-            *[F.col(f"{a}_{c}").alias(o) for a, c, o in select_plan],
+            *[F.col(src).alias(o) for src, o in select_plan],
             F.col(f"{last}_turn_idx").cast("bigint").alias("__seq"),
         )
 
@@ -1007,65 +1006,9 @@ class EventFluxApp:
             .withColumn("ts", F.col("__ts"))
         )
 
-        # referenced columns per step alias (for emit fields)
-        referenced: dict[str, set] = {s.alias: set() for s in p.steps}
-        stream_to_alias = {}
-        for s in p.steps:
-            stream_to_alias.setdefault(s.stream, s.alias)
-
-        def map_ref(name: str, col: str) -> tuple[str, str]:
-            if name in referenced:
-                return name, col
-            if name in stream_to_alias:
-                return stream_to_alias[name], col
-            raise ValueError(f"unknown pattern reference {name}.{col}")
-
-        agg_emits: dict[str, set] = {s.alias: set() for s in p.steps}
-        index_emits: dict[str, set] = {s.alias: set() for s in p.steps}
-        select_plan: list[tuple[str, str]] = []  # (emitted col, output name)
-        for expr, alias in q.select_items:
-            expr = expr.strip()
-            # e1[0].col / e1[last].col — indexed chain access
-            # (indexed_variable_executor.rs:67)
-            im = re.fullmatch(r"(\w+)\[(\d+|last)\]\.(\w+)", expr, re.IGNORECASE)
-            if im:
-                a, _ = map_ref(im.group(1), im.group(3))
-                idx = im.group(2).lower()
-                idx = idx if idx == "last" else int(idx)
-                c = im.group(3)
-                index_emits[a].add((idx, c))
-                select_plan.append((f"{a}_at{idx}_{c}", alias or f"{a}_at{idx}_{c}"))
-                continue
-            # count(e1) / sum(e1.col) / min|max|avg(e1.col) — collection
-            # aggregation over the matched chain
-            # (collection_aggregation_executor.rs:141-696)
-            am = re.fullmatch(
-                r"(count|sum|min|max|avg)\s*\(\s*(\w+)(?:\.(\w+))?\s*\)",
-                expr,
-                re.IGNORECASE,
-            )
-            if am and (am.group(2) in referenced or am.group(2) in stream_to_alias):
-                fn = am.group(1).lower()
-                c = am.group(3)
-                if c is None:
-                    if fn != "count":
-                        raise ValueError(
-                            f"collection {fn} needs a column: {expr!r}"
-                        )
-                    c = "turn_idx"
-                a, c = map_ref(am.group(2), c)
-                agg_emits[a].add((fn, c))
-                select_plan.append((f"{a}_{fn}_{c}", alias or f"{fn}_{a}"))
-                continue
-            rm = re.fullmatch(r"(\w+)\.(\w+)", expr)
-            if not rm:
-                raise ValueError(
-                    "pattern SELECT supports alias.col, alias[i].col, and "
-                    f"collection aggregates, got {expr!r}"
-                )
-            a, c = map_ref(rm.group(1), rm.group(2))
-            referenced[a].add(c)
-            select_plan.append((f"{a}_{c}", alias or c))
+        select_plan, referenced, agg_emits, index_emits = _pattern_select_plan(
+            q.select_items, p.steps
+        )
 
         steps = []
         for sdef in p.steps:
@@ -1113,6 +1056,72 @@ class EventFluxApp:
             F.col(f"{last}_turn_idx").cast("bigint").alias("__seq"),
             F.col(f"{last}_ts").alias("__ts"),
         )
+
+
+def _pattern_select_plan(select_items, steps):
+    """Parse a pattern SELECT list shared by the batch and streaming
+    compilers. Supports ``alias.col``/``Stream.col``, indexed chain access
+    ``alias[i].col`` / ``alias[last].col``
+    (indexed_variable_executor.rs:67) and collection aggregates
+    ``count(e1)`` / ``sum|min|max|avg(e1.col)``
+    (collection_aggregation_executor.rs:141-696).
+
+    Returns (select_plan [(emitted column, output name)], referenced,
+    agg_emits, index_emits) — the three dicts keyed by step alias and
+    mutable (the batch compiler adds cross-predicate references later).
+    """
+    referenced: dict[str, set] = {s.alias: set() for s in steps}
+    agg_emits: dict[str, set] = {s.alias: set() for s in steps}
+    index_emits: dict[str, set] = {s.alias: set() for s in steps}
+    stream_to_alias: dict[str, str] = {}
+    for s in steps:
+        stream_to_alias.setdefault(s.stream, s.alias)
+
+    def map_ref(name: str, col: str) -> tuple[str, str]:
+        if name in referenced:
+            return name, col
+        if name in stream_to_alias:
+            return stream_to_alias[name], col
+        raise ValueError(f"unknown pattern reference {name}.{col}")
+
+    select_plan: list[tuple[str, str]] = []
+    for expr, alias in select_items:
+        expr = expr.strip()
+        im = re.fullmatch(r"(\w+)\[(\d+|last)\]\.(\w+)", expr, re.IGNORECASE)
+        if im:
+            a, _ = map_ref(im.group(1), im.group(3))
+            idx = im.group(2).lower()
+            idx = idx if idx == "last" else int(idx)
+            c = im.group(3)
+            index_emits[a].add((idx, c))
+            select_plan.append((f"{a}_at{idx}_{c}", alias or f"{a}_at{idx}_{c}"))
+            continue
+        am = re.fullmatch(
+            r"(count|sum|min|max|avg)\s*\(\s*(\w+)(?:\.(\w+))?\s*\)",
+            expr,
+            re.IGNORECASE,
+        )
+        if am and (am.group(2) in referenced or am.group(2) in stream_to_alias):
+            fn = am.group(1).lower()
+            c = am.group(3)
+            if c is None:
+                if fn != "count":
+                    raise ValueError(f"collection {fn} needs a column: {expr!r}")
+                c = "turn_idx"
+            a, c = map_ref(am.group(2), c)
+            agg_emits[a].add((fn, c))
+            select_plan.append((f"{a}_{fn}_{c}", alias or f"{fn}_{a}"))
+            continue
+        rm = re.fullmatch(r"(\w+)\.(\w+)", expr)
+        if not rm:
+            raise ValueError(
+                "pattern SELECT supports alias.col, alias[i].col, and "
+                f"collection aggregates, got {expr!r}"
+            )
+        a, c = map_ref(rm.group(1), rm.group(2))
+        referenced[a].add(c)
+        select_plan.append((f"{a}_{c}", alias or c))
+    return select_plan, referenced, agg_emits, index_emits
 
 
 def _compile_cross_pred(condition: str):

@@ -1022,3 +1022,23 @@ class TestStreamingChains:
         app.send("S", [(1,)])
         with pytest.raises(ValueError, match="row-level"):
             app.run_streaming("Out")
+
+
+class TestStreamingQuantifiedPatternSQL:
+    def test_streaming_quantified_pattern_matches_batch(self, spark):
+        # quantifier + collection agg + indexed access through the SQL
+        # STREAMING path (shared _pattern_select_plan with batch)
+        sql = """
+            CREATE STREAM T (v INT);
+            CREATE STREAM Out (first_v INT, n INT, total BIGINT, end_v INT);
+            INSERT INTO Out
+            SELECT e1[0].v AS first_v, count(e1) AS n,
+                   sum(e1.v) AS total, e2.v AS end_v
+            FROM PATTERN (EVERY e1=T[v > 0]{2,2} -> e2=T[v < 0]);
+        """
+        rows = [(1,), (2,), (-5,), (3,), (4,), (-7,)]
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("T", rows)
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("T", rows)
+        assert sorted(app1.run_streaming("Out")) == sorted(app2.run("Out"))
