@@ -323,9 +323,6 @@ class EventFluxApp:
             return f"__e[{w!r}]"
 
         py = re.sub(r"\b(?!__[te]\b)([a-zA-Z_]\w*)\b(?!\s*\(|')", sub_bare, py)
-        # un-substitute dict keys the bare pass may have wrapped
-        py = re.sub(r"__[te]\[__t\[(\'\w+\')\]\]", r"__t[\1]", py)
-        py = re.sub(r"__[te]\[__e\[(\'\w+\')\]\]", r"__e[\1]", py)
         code = compile(py, "<dml-expr>", "eval")
 
         def fn(row: dict, event: dict):
