@@ -85,6 +85,34 @@ def session_stream(
     )
 
 
+def time_window_processing_stream(
+    df: DataFrame,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """``time(d)`` on the WALL CLOCK — the reference's processing-time
+    sliding window (``window/mod.rs`` time window ticks on arrival time, not
+    event time). Each micro-batch stamps its rows with the batch's
+    ``current_timestamp()`` (exactly 'time of arrival at the operator'),
+    then a tumbling window aggregates on that processing-time column.
+
+    Inherently non-deterministic across runs (that is the point of a
+    wall-clock window) — tests assert conservation (every row lands in
+    exactly one window) and structure, not exact window boundaries; the
+    deterministic twin for fixtures is the event-time restatement
+    (SURVEY §7.4 stance).
+    """
+    stamped = df.withColumn("__proc_ts", F.current_timestamp())
+    return (
+        stamped.withWatermark("__proc_ts", "0 seconds")
+        .groupBy(F.window(F.col("__proc_ts"), duration).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
 def group_agg_update_stream(
     df: DataFrame, keys: list[str], aggs: list[Column]
 ) -> DataFrame:

@@ -394,3 +394,34 @@ def test_log_sink_observes_epochs(spark, tmpdir, fed_transcripts, caplog):
     msgs = [r.message for r in caplog.records if r.name == "efs.test.log"]
     assert len(msgs) >= 2  # one line per micro-batch
     assert sum(int(m.split("rows=")[1]) for m in msgs) == t.count() + 1
+
+
+class TestProcessingTimeWindow:
+    def test_wall_clock_window_conserves_rows(self, spark, tmpdir, fed_transcripts):
+        """time(d) wall-clock twin (processing-time window): every arriving
+        row lands in exactly ONE wall-clock window — conservation and
+        structure are asserted (boundaries are inherently non-deterministic;
+        the deterministic fixture twin is the event-time restatement)."""
+        t, feed_dir = fed_transcripts
+        stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+        out = P.time_window_processing_stream(
+            stream, "2 seconds", ["role"],
+            [F.count(F.lit(1)).alias("n")],
+        )
+        # complete mode: windows keep updating as batches arrive; final
+        # table holds every (window, role) bucket
+        q = (
+            out.writeStream.format("memory").queryName("proc_win")
+            .outputMode("complete").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT role, n, window_start FROM proc_win").toPandas()
+        assert got["n"].sum() == t.count() + 1  # + sentinel: nothing lost
+        assert got["window_start"].notna().all()
+        # per-role conservation too
+        per_role = got.groupby("role")["n"].sum().to_dict()
+        want = {r["role"]: r["cnt"] for r in
+                t.groupBy("role").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        for role, cnt in want.items():
+            assert per_role[role] >= cnt  # sentinel may share a role bucket
