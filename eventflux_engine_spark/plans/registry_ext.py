@@ -169,6 +169,42 @@ def q_join_unidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(u["conv_id"], "user_turn", "assistant_turn")
 
 
+@register(
+    "length_window_changelog",
+    with_transcript_views(
+        """
+        WITH seqd AS (
+          SELECT conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY ts, turn_idx) - 1 AS arr,
+                 count(*) OVER (PARTITION BY conv_id) AS total
+          FROM transcripts
+        )
+        SELECT conv_id, turn_idx, FALSE AS is_expired,
+               cast(arr * 2 + 1 AS BIGINT) AS emit_seq
+        FROM seqd
+        UNION ALL
+        SELECT conv_id, turn_idx, TRUE AS is_expired,
+               cast((arr + 3) * 2 AS BIGINT) AS emit_seq
+        FROM seqd WHERE arr + 3 < total
+        """
+    ),
+    doc="length(3) window CHANGELOG: every arrival emits its Current row "
+    "plus the Expired eviction record of arrival i-3, expired-before-"
+    "current within an arrival (emit_seq total order — the reference's "
+    "exact callback order, app_runner_windows.rs:25-45, "
+    "window/mod.rs:130-151)",
+)
+def q_length_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import length_window_changelog
+
+    t = transcripts_df(spark, sf_dir)
+    out = length_window_changelog(
+        t, 3, order_cols=["ts", "turn_idx"], keys=["conv_id"]
+    )
+    return out.select("conv_id", "turn_idx", "is_expired", "emit_seq")
+
+
 # ---------------------------------------------------------------------------
 # aggregations: minForever/maxForever, multi-resolution cascade, heavy hitters
 # ---------------------------------------------------------------------------
@@ -624,6 +660,57 @@ def q_pattern_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return match_pattern_batch(t, spec).select(
         "conv_id", "e1_turn_idx", "e2_turn_idx"
+    )
+
+
+@register(
+    "pattern_logical_and",
+    with_transcript_views(
+        """
+        WITH u AS (SELECT conv_id, turn_idx FROM transcripts WHERE role = 'user'),
+        t AS (SELECT conv_id, turn_idx FROM transcripts WHERE role = 'tool')
+        -- armed by a user event: completed by the FIRST tool after it
+        SELECT u.conv_id, u.turn_idx AS arming_turn, t.turn_idx AS completing_turn
+        FROM u JOIN t ON t.conv_id = u.conv_id AND t.turn_idx > u.turn_idx
+        QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                   ORDER BY t.turn_idx) = 1
+        UNION ALL
+        -- armed by a tool event: completed by the FIRST user after it
+        SELECT t.conv_id, t.turn_idx AS arming_turn, u.turn_idx AS completing_turn
+        FROM t JOIN u ON u.conv_id = t.conv_id AND u.turn_idx > t.turn_idx
+        QUALIFY row_number() OVER (PARTITION BY t.conv_id, t.turn_idx
+                                   ORDER BY u.turn_idx) = 1
+        """
+    ),
+    doc="CEP logical AND position: EVERY (user AND tool) — one event per "
+    "side, ANY order (logical_pre_state_processor.rs:71): every event arms "
+    "an instance (chain[0]); the first subsequent event of the OTHER side "
+    "completes it (chain[last]). Surfaced via indexed chain access; oracle "
+    "enumerates both arming directions with first-after joins.",
+)
+def q_pattern_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        transcripts_df(spark, sf_dir)
+        .withColumn("is_user", F.col("role") == "user")
+        .withColumn("is_tool", F.col("role") == "tool")
+    )
+    spec = PatternSpec(
+        steps=(
+            Step(
+                "e1",
+                "is_user",
+                logic="and",
+                flag_col2="is_tool",
+                index_emit=((0, "turn_idx"), ("last", "turn_idx")),
+            ),
+        ),
+        every=True,
+    )
+    m = match_pattern_batch(t, spec)
+    return m.select(
+        "conv_id",
+        F.col("e1_at0_turn_idx").alias("arming_turn"),
+        F.col("e1_atlast_turn_idx").alias("completing_turn"),
     )
 
 
