@@ -704,6 +704,72 @@ def q_pattern_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_quantifier_branching",
+    with_transcript_views(
+        """
+        WITH users AS (
+          SELECT conv_id, turn_idx,
+                 lead(turn_idx, 1) OVER w AS turn2,
+                 lead(turn_idx, 2) OVER w AS turn3
+          FROM transcripts WHERE role = 'user'
+          WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        )
+        -- branch at min_count=2: chain [u, u2], completed by the first
+        -- assistant after u2
+        SELECT u.conv_id, u.turn_idx AS first_turn, u.turn2 AS last_turn,
+               2 AS n, a.turn_idx AS e2_turn
+        FROM users u JOIN transcripts a
+          ON a.conv_id = u.conv_id AND a.role = 'assistant'
+         AND a.turn_idx > u.turn2
+        WHERE u.turn2 IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                   ORDER BY a.turn_idx) = 1
+        UNION ALL
+        -- branch at max_count=3: chain [u, u2, u3], completed by the first
+        -- assistant after u3
+        SELECT u.conv_id, u.turn_idx AS first_turn, u.turn3 AS last_turn,
+               3 AS n, a.turn_idx AS e2_turn
+        FROM users u JOIN transcripts a
+          ON a.conv_id = u.conv_id AND a.role = 'assistant'
+         AND a.turn_idx > u.turn3
+        WHERE u.turn3 IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                   ORDER BY a.turn_idx) = 1
+        """
+    ),
+    doc="count-quantifier BRANCH FORWARDING (count_pre_state_processor.rs "
+    "contract): e1=user{2,3} -> e2=assistant emits BOTH the 2-chain and the "
+    "3-chain per starting event — once min_count is reached the instance "
+    "forwards a copy AND keeps accumulating. Oracle enumerates both branch "
+    "lengths via lead() windows.",
+)
+def q_pattern_quantifier_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _flagged_transcripts(spark, sf_dir)
+    spec = PatternSpec(
+        steps=(
+            Step(
+                "e1",
+                "is_user",
+                min_count=2,
+                max_count=3,
+                index_emit=((0, "turn_idx"), ("last", "turn_idx")),
+                agg_emit=(("count", "turn_idx"),),
+            ),
+            Step("e2", "is_assistant"),
+        ),
+        every=True,
+    )
+    m = match_pattern_batch(t, spec)
+    return m.select(
+        "conv_id",
+        F.col("e1_at0_turn_idx").alias("first_turn"),
+        F.col("e1_atlast_turn_idx").alias("last_turn"),
+        F.col("e1_count_turn_idx").alias("n"),
+        F.col("e2_turn_idx").alias("e2_turn"),
+    )
+
+
+@register(
     "pattern_sequence_strict",
     with_transcript_views(
         """
