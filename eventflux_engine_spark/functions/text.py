@@ -61,6 +61,19 @@ def token_count(c: Column) -> Column:
     )
 
 
+#: BPE-style pre-tokenizer classes (GPT-2-ish, lookahead-free so the same
+#: pattern runs under Java regex (Spark) and RE2 (DuckDB)): letter runs,
+#: digit runs, runs of other non-space symbols.
+BPE_TOKEN_RE = r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Sub-word-ish token count: a BPE pre-tokenizer's segment count — the
+    unit a training-data pipeline budgets by (letters/digits/punct split,
+    whitespace dropped)."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def _word_hits(c: Column, word: str) -> Column:
     # count of whole-word occurrences in the padded, lowercased text
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))

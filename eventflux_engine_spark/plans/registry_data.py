@@ -458,6 +458,36 @@ def q_text_features_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_tokens",
+    f"""
+    SELECT source,
+           cast(sum(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}', 0)))
+             AS BIGINT) AS total_bpe_tokens,
+           round(avg(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}', 0))
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)),
+                 4) AS bpe_per_word
+    FROM documents GROUP BY source
+    """,
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(lookahead-free — identical under Java regex and RE2) segments "
+    "letters/digits/punctuation; per-source totals + tokens-per-word "
+    "fertility, the unit a training-data pipeline budgets by",
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = TX.bpe_token_count(F.col("text"))
+    words = F.greatest(TX.token_count(F.col("text")), F.lit(1))
+    return (
+        docs.select("source", bpe.alias("nb"), words.alias("nw"))
+        .groupBy("source")
+        .agg(
+            F.sum("nb").cast("bigint").alias("total_bpe_tokens"),
+            F.round(F.avg(F.col("nb") / F.col("nw")), 4).alias("bpe_per_word"),
+        )
+    )
+
+
+@register(
     "text_fingerprint",
     f"""
     SELECT doc_id, md5({DD.NORMALIZE_SQL.format(c='text')}) AS fp
