@@ -488,6 +488,43 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_cdc_chunks",
+    """
+    SELECT doc_id,
+           cast(CASE WHEN length(text) >= 8 THEN
+             1 + len(list_filter(
+                   list_transform(generate_series(1, length(text) - 7),
+                                  i -> md5(substr(text, i, 8))),
+                   h -> substr(h, 1, 2) <= '03'))
+           ELSE 1 END AS INTEGER) AS n_chunks
+    FROM documents
+    """,
+    doc="content-defined chunking (FastCDC-style dedup primitive): a chunk "
+    "boundary wherever the sliding 8-gram window fingerprint falls below "
+    "1/64 of the hash space — boundaries depend only on CONTENT, so "
+    "insertions shift chunk starts without invalidating downstream chunk "
+    "hashes. Window fingerprint = md5 here for oracle exactness (at 100 TB "
+    "the same operator uses a true O(1)-per-step rolling hash — gear/"
+    "Rabin — inside the same vectorized expression shape).",
+)
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    # sequence(1, 0) yields DESCENDING [1, 0] — guard short docs explicitly
+    windows = F.transform(
+        F.sequence(F.lit(1), n - 7),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
+    )
+    boundaries = F.size(
+        F.filter(windows, lambda h: F.substring(h, 1, 2) <= "03")
+    )
+    return docs.select(
+        "doc_id",
+        F.when(n >= 8, boundaries + 1).otherwise(F.lit(1)).cast("int").alias("n_chunks"),
+    )
+
+
+@register(
     "text_fingerprint",
     f"""
     SELECT doc_id, md5({DD.NORMALIZE_SQL.format(c='text')}) AS fp
