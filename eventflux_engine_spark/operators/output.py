@@ -44,7 +44,11 @@ def order_limit_offset(
 def _every_n(df: DataFrame, n: int, keys: list[str], order_cols: list[str], pick_last: bool) -> DataFrame:
     w = Window.partitionBy(*keys).orderBy(*order_cols)
     out = df.withColumn("_rn", F.row_number().over(w))
-    keep = (F.col("_rn") % n == 0) if pick_last else (F.col("_rn") % n == 1)
+    # FIRST uses the 0-based position so n=1 keeps every event
+    # (EVERY 1 emits immediately, output_rate_limit_comprehensive.rs:415)
+    keep = (
+        (F.col("_rn") % n == 0) if pick_last else ((F.col("_rn") - 1) % n == 0)
+    )
     return out.filter(keep).drop("_rn")
 
 

@@ -917,8 +917,9 @@ class EventFluxApp:
                         F.col("__rn") <= F.floor(F.col("__n") / value) * value
                     ).drop("__rn", "__n")
                 else:
+                    # FIRST via 0-based position: EVERY 1 emits every event
                     keep = (
-                        (F.col("__rn") % value == 1)
+                        ((F.col("__rn") - 1) % value == 0)
                         if mode == "FIRST"
                         else (F.col("__rn") % value == 0)
                     )

@@ -328,3 +328,34 @@ class TestUuid:
 
         df = spark.range(500).select(SCALAR_FUNCTIONS["uuid"]().alias("u"))
         assert df.distinct().count() == 500
+
+
+class TestOutputRateProperty:
+    def test_event_rate_counts(self, spark):
+        """Property (hypothesis): for m events and block size n —
+        FIRST keeps ceil(m/n), LAST keeps floor(m/n), ALL keeps
+        floor(m/n)*n (complete blocks only)."""
+        import math
+
+        from hypothesis import given, settings, strategies as st
+
+        from eventflux_engine_spark.operators.output import (
+            output_all_every,
+            output_first_every,
+            output_last_every,
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.integers(1, 40), st.integers(1, 7))
+        def check(m, n):
+            df = spark.range(m).select(
+                F.lit("k").alias("key"), F.col("id").alias("seq")
+            )
+            first = output_first_every(df, n, ["key"], ["seq"]).count()
+            last = output_last_every(df, n, ["key"], ["seq"]).count()
+            allc = output_all_every(df, n, ["key"], ["seq"]).count()
+            assert first == math.ceil(m / n)
+            assert last == m // n
+            assert allc == (m // n) * n
+
+        check()
