@@ -359,3 +359,43 @@ class TestOutputRateProperty:
             assert allc == (m // n) * n
 
         check()
+
+
+class TestTimeRateProperty:
+    def test_time_rate_first_last_one_per_nonempty_bucket(self, spark):
+        """Property: FIRST/LAST EVERY d TIME keep exactly one event per
+        NON-EMPTY (key, d-bucket); together they bracket each bucket."""
+        import datetime
+
+        from hypothesis import given, settings, strategies as st
+
+        from eventflux_engine_spark.operators.output import output_every_time
+
+        base = datetime.datetime(2024, 1, 1)
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            st.lists(st.integers(0, 120), min_size=1, max_size=30),
+            st.integers(2, 9),
+        )
+        def check(offsets, d_sec):
+            rows = [
+                ("k", i, base + datetime.timedelta(seconds=o))
+                for i, o in enumerate(sorted(offsets))
+            ]
+            df = spark.createDataFrame(rows, "key string, seq int, ts timestamp")
+            n_buckets = len({o // d_sec for o in offsets})
+            first = output_every_time(
+                df, d_sec * 1000, "FIRST", "ts", ["key"], ["ts", "seq"]
+            )
+            last = output_every_time(
+                df, d_sec * 1000, "LAST", "ts", ["key"], ["ts", "seq"]
+            )
+            assert first.count() == n_buckets
+            assert last.count() == n_buckets
+            # FIRST's pick is never later than LAST's within a bucket
+            f = {r["seq"] for r in first.collect()}
+            l = {r["seq"] for r in last.collect()}
+            assert len(f) == len(l) == n_buckets
+
+        check()
