@@ -8,6 +8,8 @@ OUTPUT [ALL|FIRST|LAST] EVERY n rate limiting
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,7 +106,135 @@ def output_every_time(
     return out.filter(F.col("_rn") == 1).drop("_rn")
 
 
+_SIMPLE_AGG_RE = re.compile(r"^\s*(count|sum|avg|min|max)\s*\(", re.IGNORECASE)
+
+
+def _parse_simple_agg(expr: str) -> tuple[str, str] | None:
+    """Parse a single decomposable aggregate call ``fn(arg)`` (fn in
+    count/sum/avg/min/max, no DISTINCT, nothing past the closing paren).
+    Returns (fn, arg) or None when the expression is not decomposable."""
+    m = _SIMPLE_AGG_RE.match(expr)
+    if not m:
+        return None
+    body = expr[m.end():].rstrip()
+    if not body.endswith(")"):
+        return None
+    inner = body[:-1]
+    depth = 1
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:  # the call closes early: e.g. "sum(x)/count(*)"
+                return None
+    if re.match(r"^\s*distinct\b", inner, re.IGNORECASE):
+        return None
+    return m.group(1).lower(), inner.strip()
+
+
 def output_snapshot_agg(
+    df: DataFrame,
+    interval_ms: int,
+    ts_col: str,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    start_ts,
+    end_ts,
+) -> DataFrame:
+    """OUTPUT SNAPSHOT EVERY d (snapshot_output_rate.rs): every d the CURRENT
+    aggregate state is emitted in full — restated on event time as: for each
+    tick t in (start, end], the aggregate over all events with ts <= t.
+
+    ``aggs`` is a list of (aggregate SQL expression, output alias).
+
+    Plan (scale path, decomposable aggs — count/sum/avg/min/max): bucket each
+    event to the first tick at-or-after it and partial-aggregate per
+    (keys, bucket) — the ONLY shuffle over the raw event table, with
+    map-side combine — then explode each partial row to the ticks it feeds
+    (its own bucket through the last tick) and re-aggregate per (keys,
+    tick). Raw rows are never replicated per tick and the event table is
+    scanned once; only per-(key, bucket) partials fan out, bounded by
+    output_size × n_ticks, with n_ticks small by construction (rate
+    limiting implies coarse d). No join, no BroadcastNestedLoopJoin. A
+    (key, tick) output row exists only once the key has ≥1 event at or
+    before the tick — identical to the tick-join / oracle inner-join
+    semantics. Non-decomposable aggregates (DISTINCT, first/last, compound
+    expressions) fall back to the tick-range-join restatement, which
+    amplifies raw rows ×ticks and is only suitable for small inputs."""
+    parsed = [(_parse_simple_agg(e), e, a) for e, a in aggs]
+    if not parsed or any(p is None for p, _, _ in parsed):
+        return _snapshot_tick_join(
+            df, interval_ms, ts_col, keys,
+            [F.expr(e).alias(a) for _, e, a in parsed], start_ts, end_ts,
+        )
+
+    start = F.lit(start_ts).cast("timestamp")
+    end = F.lit(end_ts).cast("timestamp")
+
+    def ms(c: Column) -> Column:
+        return c.cast("timestamp_ltz").cast("double") * 1000.0
+
+    # Tick i sits at start + i*d (i in 1..n_ticks); an event's owning tick
+    # is the first tick at-or-after its ts (events at or before the spine
+    # start belong to tick 1 — visible from the first snapshot onward);
+    # events after the last tick never emit. All integer-valued doubles
+    # (exact to 2^53), ceil/floor safe for sub-year horizons at ms grain.
+    n_ticks = F.floor((ms(end) - ms(start)) / F.lit(float(interval_ms))).cast(
+        "long"
+    )
+    bucket = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(
+            (ms(F.col(ts_col)) - ms(start)) / F.lit(float(interval_ms))
+        ).cast("long"),
+    )
+    ev = df.filter(bucket <= n_ticks)
+
+    partial_cols: list[Column] = []
+    partial_names: list[str] = []
+    finals: list[Column] = []
+
+    def _partial(c: Column, name: str) -> None:
+        partial_cols.append(c.alias(name))
+        partial_names.append(name)
+
+    for i, (p, _e, a) in enumerate(parsed):
+        fn, arg = p
+        col = F.lit(1) if (fn == "count" and arg == "*") else F.expr(arg)
+        if fn == "count":
+            _partial(F.count(col), f"_p{i}")
+            finals.append(F.sum(f"_p{i}").cast("long").alias(a))
+        elif fn == "sum":
+            _partial(F.sum(col), f"_p{i}")
+            finals.append(F.sum(f"_p{i}").alias(a))
+        elif fn == "avg":
+            _partial(F.sum(col), f"_ps{i}")
+            _partial(F.count(col), f"_pc{i}")
+            finals.append((F.sum(f"_ps{i}") / F.sum(f"_pc{i}")).alias(a))
+        elif fn == "min":
+            _partial(F.min(col), f"_p{i}")
+            finals.append(F.min(f"_p{i}").alias(a))
+        else:  # max
+            _partial(F.max(col), f"_p{i}")
+            finals.append(F.max(f"_p{i}").alias(a))
+
+    pb = ev.groupBy(*[F.col(k) for k in keys], bucket.alias("_bkt")).agg(
+        *partial_cols
+    )
+    expanded = pb.select(
+        *keys,
+        F.explode(F.sequence(F.col("_bkt"), n_ticks)).alias("_tick_bkt"),
+        *partial_names,
+    )
+    out = expanded.groupBy(*keys, "_tick_bkt").agg(*finals)
+    tick = F.timestamp_millis(
+        (ms(start) + F.col("_tick_bkt") * F.lit(float(interval_ms))).cast("long")
+    ).alias("tick")
+    return out.select(tick, *keys, *[a for _p, _e, a in parsed])
+
+
+def _snapshot_tick_join(
     df: DataFrame,
     interval_ms: int,
     ts_col: str,
@@ -113,15 +243,10 @@ def output_snapshot_agg(
     start_ts,
     end_ts,
 ) -> DataFrame:
-    """OUTPUT SNAPSHOT EVERY d (snapshot_output_rate.rs): every d the CURRENT
-    aggregate state is emitted in full — restated on event time as: for each
-    tick t in (start, end], the aggregate over all events with ts <= t.
-
-    Plan: generate the (tiny) tick spine, range-join events to every tick at
-    or after them, aggregate per (tick, keys). Tick count = horizon/d is
-    small by construction (rate limiting implies coarse d); events fan out
-    only to ticks they precede — at scale the same statement compiles to a
-    cumulative windowed aggregate over pre-bucketed partials."""
+    """Fallback SNAPSHOT plan for non-decomposable aggregates: range-join
+    events to every tick at-or-after them (row amplification ×remaining
+    ticks through a BroadcastNestedLoopJoin) and aggregate per (tick, keys).
+    Only suitable when input × ticks is small."""
     ticks = df.sparkSession.range(1).select(
         F.explode(
             F.sequence(

@@ -315,10 +315,10 @@ def q_output_first_every_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ),
     doc="OUTPUT SNAPSHOT EVERY 7 DAYS (snapshot_output_rate.rs): the FULL "
-    "current per-role aggregate emitted at every tick — per-tick cumulative "
-    "aggregates via a broadcast tick spine (ticks are few by construction; "
-    "at scale the same statement compiles to a cumulative window over "
-    "pre-bucketed partials)",
+    "current per-role aggregate emitted at every tick — cumulative window "
+    "over pre-bucketed per-(key, tick) partials: ONE shuffle over the event "
+    "table, no raw-row replication, no BroadcastNestedLoopJoin "
+    "(plan-shape-tested)",
 )
 def q_output_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_df(spark, sf_dir)
@@ -327,7 +327,7 @@ def q_output_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         7 * 86400 * 1000,
         "ts",
         ["role"],
-        [F.count(F.lit(1)).alias("n_turns")],
+        [("count(*)", "n_turns")],
         "2024-01-01 00:00:00",
         "2024-01-31 00:00:00",
     )

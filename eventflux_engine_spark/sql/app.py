@@ -726,11 +726,7 @@ class EventFluxApp:
         if q.where:
             df = df.filter(F.expr(q.where))
         keys = [g.strip() for g in (q.group_by or "").split(",") if g.strip()]
-        aggs = [
-            F.expr(e).alias(a or e)
-            for e, a in q.select_items
-            if _AGG_RE.search(e)
-        ]
+        aggs = [(e, a or e) for e, a in q.select_items if _AGG_RE.search(e)]
         interval_ms = q.output_rate[1]
         end = _EPOCH + datetime.timedelta(seconds=max(self._seq, 1))
         out = OUT.output_snapshot_agg(

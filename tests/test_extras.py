@@ -322,6 +322,67 @@ class TestMergePlanShape:
             assert got[k] == "old"
 
 
+class TestSnapshotPlanShape:
+    def test_snapshot_is_cumulative_over_partials(self, spark, sf_tiny):
+        """output_snapshot_agg (decomposable aggs) must never replicate raw
+        rows per tick: single scan of the event table, exactly ONE exchange
+        over it (the per-(key, bucket) partial agg), no BNLJ / cartesian /
+        join of any kind (VERDICT r2 'What's wrong #1')."""
+        from eventflux_engine_spark.operators.output import output_snapshot_agg
+
+        t = spark.read.parquet(f"{sf_tiny}/events.parquet")
+        out = output_snapshot_agg(
+            t,
+            7 * 86400 * 1000,
+            "ts",
+            ["event_type"],
+            [("count(*)", "n"), ("sum(value)", "s"), ("avg(value)", "m"),
+             ("min(value)", "lo"), ("max(value)", "hi")],
+            "2024-01-01 00:00:00",
+            "2024-01-31 00:00:00",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan
+        assert plan.count("FileScan parquet") == 1
+        # one exchange over raw events (partials), one over output-sized
+        # exploded partials — nothing else
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "partial_count" in plan  # map-side combine before the shuffle
+        assert out.count() > 0
+
+    def test_snapshot_cumulative_equals_tick_join(self, spark, sf_tiny):
+        """The cumulative-over-partials plan must agree row-for-row with the
+        naive tick-range-join restatement (the semantics oracle)."""
+        from eventflux_engine_spark.operators.output import (
+            _snapshot_tick_join,
+            output_snapshot_agg,
+        )
+
+        t = spark.read.parquet(f"{sf_tiny}/events.parquet")
+        args = (5 * 86400 * 1000, "ts", ["event_type"],
+                "2024-01-03 00:00:00", "2024-01-29 00:00:00")
+        fast = output_snapshot_agg(
+            t, args[0], args[1], args[2],
+            [("count(*)", "n"), ("sum(value)", "s"), ("min(value)", "lo")],
+            args[3], args[4],
+        )
+        slow = _snapshot_tick_join(
+            t, args[0], args[1], args[2],
+            [F.expr("count(*)").alias("n"), F.expr("sum(value)").alias("s"),
+             F.expr("min(value)").alias("lo")],
+            args[3], args[4],
+        )
+        k = lambda r: (r["tick"], r["event_type"])
+        # double sums differ in summation order between the two plans —
+        # compare at the driver hash's 4-decimal grain
+        v = lambda r: (r["n"], round(r["s"], 4), r["lo"])
+        got = {k(r): v(r) for r in fast.collect()}
+        want = {k(r): v(r) for r in slow.collect()}
+        assert got == want
+
+
 class TestUuid:
     def test_uuid_scalar_is_unique_per_row(self, spark):
         from eventflux_engine_spark.functions.scalar import SCALAR_FUNCTIONS
