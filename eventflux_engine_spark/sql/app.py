@@ -64,6 +64,9 @@ class EventFluxApp:
         #: final table states after DML replay / on-demand mutation
         self._table_final: dict[str, list[dict]] = {}
         self._dml_cache: dict[int, dict] = {}
+        #: test hook — force event-at-a-time DML replay (the parity oracle)
+        #: even when the statements compile to MERGE plans
+        self._force_dml_replay = False
         self._seq = 0
 
     # -- DDL / DML registration ------------------------------------------
@@ -200,9 +203,28 @@ class EventFluxApp:
     # plans, oracle-gated as dml_upsert_last_writer / dml_update_additive /
     # dml_delete_stream_antijoin.
 
+    def _compiled_table_plan(
+        self, name: str, _stack: frozenset = frozenset()
+    ) -> "DataFrame | None":
+        """Distributed MERGE plan for the table's final state when every DML
+        statement targeting it is a commuting class (sql/dml_compile.py) —
+        the scale path: no driver replay, no per-event loops. None when the
+        state was already materialized (on-demand mutation) or a statement
+        doesn't commute (→ event-at-a-time replay)."""
+        if name in self._table_final or self._force_dml_replay:
+            return None
+        from . import dml_compile
+
+        return dml_compile.compiled_table_plan(self, name, _stack)
+
     def _table_state(self, name: str, _stack: frozenset = frozenset()) -> list[dict]:
         if name in self._table_final:
             return self._table_final[name]
+        plan = self._compiled_table_plan(name, _stack)
+        if plan is not None:
+            state = [r.asDict() for r in plan.orderBy("__seq").collect()]
+            self._table_final[name] = state
+            return state
         cols = [c for c, _ in self.streams[name].columns]
         events: list[tuple[int, str, object, object]] = []  # (seq, kind, dml, payload)
         # adds: sent rows + INSERT INTO <table> query emissions
@@ -296,6 +318,8 @@ class EventFluxApp:
         name (table vs source/alias); bare names prefer the table column —
         except UPSERT SELECT items (``prefer_event``), whose values come from
         the driving stream event."""
+        from .dml_compile import mask_literals, restore_literals
+
         src_names = {d.source}
         if d.source_alias:
             src_names.add(d.source_alias)
@@ -308,7 +332,10 @@ class EventFluxApp:
                 return f"__e[{col!r}]"
             raise ValueError(f"unknown qualifier {qual!r} in {expr!r}")
 
-        py = re.sub(r"\b(\w+)\.(\w+)\b", sub_qualified, expr)
+        # mask '...' string literals first so keyword/identifier rewriting
+        # can never touch words inside them (ADVICE r2: multi-word literals)
+        py, lits = mask_literals(expr)
+        py = re.sub(r"\b(\w+)\.(\w+)\b", sub_qualified, py)
         py = re.sub(r"(?<![<>!=])=(?!=)", "==", py)
         py = re.sub(r"\bAND\b", "and", py, flags=re.IGNORECASE)
         py = re.sub(r"\bOR\b", "or", py, flags=re.IGNORECASE)
@@ -322,7 +349,10 @@ class EventFluxApp:
                 return f"__t[{w!r}]"
             return f"__e[{w!r}]"
 
+        # the quote lookahead skips the col names inside already-substituted
+        # __t['col'] / __e['col'] forms (string literals are masked out)
         py = re.sub(r"\b(?!__[te]\b)([a-zA-Z_]\w*)\b(?!\s*\(|')", sub_bare, py)
+        py = restore_literals(py, lits)
         code = compile(py, "<dml-expr>", "eval")
 
         def fn(row: dict, event: dict):
@@ -338,6 +368,9 @@ class EventFluxApp:
         return v.item() if hasattr(v, "item") else v
 
     def _table_df(self, name: str, _stack: frozenset = frozenset()) -> DataFrame:
+        plan = self._compiled_table_plan(name, _stack)
+        if plan is not None:
+            return plan
         cols = [c for c, _ in self.streams[name].columns]
         schema = ", ".join(f"{c} {t}" for c, t in self.streams[name].columns)
         schema += ", __seq bigint, __ts timestamp"
