@@ -436,28 +436,48 @@ class EventFluxApp:
             return [tuple(r) for r in out.select(*cols).collect()]
         if head == "UPDATE":
             m = re.match(
-                r"UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
+                r"UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
                 stmt, re.IGNORECASE | re.DOTALL,
             )
+            if m is None:
+                raise ValueError(
+                    "on-demand UPDATE must be 'UPDATE <table> SET col = expr"
+                    f"[, ...] [WHERE <cond>]': {stmt[:80]!r}"
+                )
             table, set_text, cond_text = m.groups()
-            d = DmlDef("update", table, "__none__", cond_text.strip())
+            d = DmlDef("update", table, "__none__", (cond_text or "").strip())
             from .compiler import _split_top
 
             for item in _split_top(set_text):
                 am = re.match(r"([\w.]+)\s*=\s*(.+)$", item.strip(), re.DOTALL)
+                if am is None:
+                    raise ValueError(f"bad SET item in on-demand UPDATE: {item!r}")
                 d.set_items.append((am.group(1).split(".")[-1], am.group(2).strip()))
         elif head == "DELETE":
             m = re.match(
-                r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$",
+                r"DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$",
                 stmt, re.IGNORECASE | re.DOTALL,
             )
+            if m is None:
+                raise ValueError(
+                    "on-demand DELETE must be 'DELETE FROM <table> "
+                    f"[WHERE <cond>]': {stmt[:80]!r}"
+                )
             table, cond_text = m.groups()
-            d = DmlDef("delete", table, "__none__", cond_text.strip())
+            d = DmlDef("delete", table, "__none__", (cond_text or "").strip())
         else:
             raise ValueError(f"unsupported on-demand statement: {stmt[:60]}")
+        if table not in self.streams:
+            raise ValueError(f"unknown table {table!r} in on-demand statement")
         cols = [c for c, _ in self.streams[table].columns]
         state = self._table_state(table)
-        cond = self._compile_dml_expr(d.condition, d, cols)
+        # WHERE-less statement = full-table mutation (reference store.rs
+        # accepts the same shape)
+        cond = (
+            self._compile_dml_expr(d.condition, d, cols)
+            if d.condition
+            else (lambda row, event: True)
+        )
         n_before = len(state)
         if d.kind == "delete":
             state[:] = [row for row in state if not cond(row, {})]

@@ -23,7 +23,10 @@ import re
 _FIELD_RANGES = [(0, 59), (0, 59), (0, 23), (1, 31), (1, 12), (0, 6)]
 
 
-def _parse_field(text: str, lo: int, hi: int) -> set[int]:
+def _parse_field(text: str, lo: int, hi: int, dow: bool = False) -> set[int]:
+    # the day-of-week field alone accepts hi+1 (7 == Sunday alias,
+    # normalized to 0); every other field validates strictly against hi
+    top = hi + 1 if dow else hi
     vals: set[int] = set()
     for part in text.split(","):
         part = part.strip()
@@ -39,9 +42,12 @@ def _parse_field(text: str, lo: int, hi: int) -> set[int]:
             a = b = int(rng)
             if step > 1 and m.group(2):
                 b = hi  # "n/step" means start at n
-        if not (lo <= a <= hi + 1 and a <= b <= hi + 1):
-            raise ValueError(f"cron field {part!r} out of range [{lo},{hi}]")
+        if not (lo <= a <= top and a <= b <= top):
+            raise ValueError(f"cron field {part!r} out of range [{lo},{top}]")
         vals.update(range(a, b + 1, step))
+    if dow and 7 in vals:
+        vals.discard(7)
+        vals.add(0)
     return vals
 
 
@@ -53,12 +59,9 @@ class Cron:
                 f"cron needs 6 fields (sec min hour dom mon dow): {expr!r}"
             )
         self.fields = [
-            _parse_field(f, lo, hi)
-            for f, (lo, hi) in zip(fields, _FIELD_RANGES)
+            _parse_field(f, lo, hi, dow=(i == 5))
+            for i, (f, (lo, hi)) in enumerate(zip(fields, _FIELD_RANGES))
         ]
-        # 7 == Sunday alias
-        if 7 in _parse_field(fields[5], 0, 7):
-            self.fields[5].add(0)
 
     def matches(self, dt: datetime.datetime) -> bool:
         sec, mnt, hr, dom, mon, dow = self.fields

@@ -46,9 +46,8 @@ def _footer_lineage(data_dir: str) -> list[dict]:
     """Per-file row counts from the written parquet footers (metadata-only
     reads — no data scan, no second job)."""
     out = []
-    for i, fname in enumerate(sorted(os.listdir(data_dir))):
-        if not fname.endswith(".parquet"):
-            continue
+    files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+    for i, fname in enumerate(files):
         n = pq.ParquetFile(os.path.join(data_dir, fname)).metadata.num_rows
         out.append({"partition_id": i, "file": fname, "rows": int(n)})
     return out

@@ -739,6 +739,24 @@ class TestTableDML:
         assert app.on_demand("DELETE FROM T WHERE id = 1") == 1
         assert app.table("T") == [(2, 21), (3, 30)]
 
+    def test_on_demand_without_where_mutates_full_table(self, spark):
+        # ADVICE r2 (low): WHERE-less UPDATE/DELETE crashed with an opaque
+        # AttributeError; now a full-table mutation (store.rs accepts it)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, v INT);
+            CREATE TABLE T (id INT, v INT);
+            INSERT INTO T SELECT id, v FROM In;
+            """
+        )
+        app.send("In", [(1, 10), (2, 20)])
+        assert app.on_demand("UPDATE T SET v = v * 2") == 2
+        assert app.table("T") == [(1, 20), (2, 40)]
+        assert app.on_demand("DELETE FROM T") == 2
+        assert app.table("T") == []
+        with pytest.raises(ValueError, match="on-demand UPDATE"):
+            app.on_demand("UPDATE T")  # no SET at all → named error
+
 
 class TestNamedWindows:
     def test_two_queries_share_one_named_window(self, spark):
@@ -914,6 +932,19 @@ class TestCronWindow:
         app.send("S", [(1,), (2,), (4,), (8,), (16,), (32,), (64,)])
         got = sorted(app.run("Out"))
         assert got == sorted([(15, 4), (112, 3)])
+
+    def test_cron_field_validation(self):
+        # ADVICE r2 (low): out-of-range fields must be rejected at DDL time,
+        # not silently never fire; only DOW accepts the 7=Sunday alias
+        from eventflux_engine_spark.sql.cron import Cron
+
+        for bad in ("60 * * * * *", "* 60 * * * *", "* * 24 * * *",
+                    "* * * 32 * *", "* * * * 13 *", "* * * * * 8"):
+            with pytest.raises(ValueError, match="out of range"):
+                Cron(bad)
+        assert 0 in Cron("* * * * * 7").fields[5]  # Sunday alias normalized
+        assert 7 not in Cron("* * * * * 7").fields[5]
+        Cron("59 59 23 31 12 6")  # every max value is accepted
 
 
 class TestStreamingGroupAgg:

@@ -165,6 +165,9 @@ class TestExactlyOnceSink:
         files = sorted(f for f in os.listdir(epoch_dir) if f.endswith(".parquet"))
         assert [p["file"] for p in c["partitions"]] == files
         assert c["rows"] == 64 and sum(p["rows"] for p in c["partitions"]) == 64
+        # partition ids are contiguous over the .parquet files only — the
+        # _SUCCESS/.crc directory entries must not create gaps (ADVICE r2)
+        assert [p["partition_id"] for p in c["partitions"]] == list(range(len(files)))
 
     def test_dlq_quarantines_poison_rows(self, spark, tmpdir):
         """DLQ side channel (≙ dlq.rs:19-76): rows matching the condition are
