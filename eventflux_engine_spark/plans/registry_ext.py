@@ -1221,3 +1221,50 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = MM.assets_from_documents(load_table(spark, sf_dir, "documents"))
     return MM.decode_sample_stats(assets)
+
+
+# ---------------------------------------------------------------------------
+# table backends (cache_table.rs:20 / jdbc_table.rs:18 — sql/app.py WITH
+# ('backend'='cache'|'jdbc') + operators/tables.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cache_table_enrichment",
+    """
+    WITH cache AS (
+      SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 2000
+    )
+    SELECT c.user_id,
+           count(*) AS n_cached_purchases,
+           round(sum(p.value), 4) AS cached_purchase_value
+    FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+    JOIN cache p ON p.user_id = c.user_id AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    """,
+    doc="enrichment join through a bounded CACHE table (cache_table.rs:20): "
+    "the cache holds the most recent 2000 events — retention plans as "
+    "TakeOrderedAndProject (per-partition top-N, no full sort); probing "
+    "users broadcast against the cached purchases",
+)
+def q_cache_table_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tables import cache_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    cache = cache_retention(ev, 2000, order_cols=("ts", "event_id"))
+    probe = (
+        ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    return (
+        F.broadcast(probe)
+        .join(
+            cache.filter(F.col("event_type") == "purchase"),
+            "user_id",
+            "inner",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cached_purchases"),
+            F.round(F.sum("value"), 4).alias("cached_purchase_value"),
+        )
+    )

@@ -174,7 +174,15 @@ class EventFluxApp:
                     ticks.append(t)
                     t += step
             rows = [(t, 10_000_000 + i, t) for i, t in enumerate(ticks)]
-        return self.spark.createDataFrame(rows, schema)
+        base = self.spark.createDataFrame(rows, schema)
+        if sd.is_table and sd.options.get("backend") == "jdbc":
+            # pre-existing store contents arrive BEFORE every stream event
+            # (negative __seq) — jdbc_table.rs:18 read path via Spark's jdbc
+            # datasource (pushdown + partitioned scans at scale)
+            from ..operators.tables import jdbc_read
+
+            base = jdbc_read(self.spark, sd.options, sd.columns).unionByName(base)
+        return base
 
     def stream_df(self, name: str, _stack: frozenset = frozenset()) -> DataFrame:
         """Materialize a stream: sent rows + every query targeting it.
@@ -183,7 +191,9 @@ class EventFluxApp:
         if name in _stack:
             raise ValueError(f"cyclic stream dependency through {name}")
         if self.streams[name].is_table and (
-            name in self._table_final or any(d.table == name for d in self.dml)
+            name in self._table_final
+            or any(d.table == name for d in self.dml)
+            or self.streams[name].options.get("backend")
         ):
             return self._table_df(name, _stack)
         df = self._base_df(name)
@@ -225,8 +235,16 @@ class EventFluxApp:
             state = [r.asDict() for r in plan.orderBy("__seq").collect()]
             self._table_final[name] = state
             return state
-        cols = [c for c, _ in self.streams[name].columns]
+        sd = self.streams[name]
+        cols = [c for c, _ in sd.columns]
         events: list[tuple[int, str, object, object]] = []  # (seq, kind, dml, payload)
+        if sd.options.get("backend") == "jdbc":
+            # store contents pre-exist every event (negative __seq)
+            from ..operators.tables import jdbc_read
+
+            for r in jdbc_read(self.spark, sd.options, sd.columns).collect():
+                rec = r.asDict()
+                events.append((rec["__seq"], "add", None, rec))
         # adds: sent rows + INSERT INTO <table> query emissions
         for r in self._rows[name]:
             row = dict(zip(cols, r[:-2]))
@@ -253,12 +271,21 @@ class EventFluxApp:
                 events.append((int(rec["__seq"]), d.kind, d, rec))
         events.sort(key=lambda e: e[0])
 
+        # cache backend (cache_table.rs:20): bounded FIFO — every insert
+        # beyond capacity evicts the OLDEST surviving row
+        max_size = (
+            int(sd.options.get("max_size", "0"))
+            if sd.options.get("backend") == "cache"
+            else None
+        )
         state: list[dict] = []
         for seq, kind, d, payload in events:
             if kind == "add":
                 state.append(payload)
-                continue
-            self._apply_mutation(state, d, payload, cols, seq)
+            else:
+                self._apply_mutation(state, d, payload, cols, seq)
+            if max_size is not None and len(state) > max_size:
+                del state[: len(state) - max_size]
         self._table_final[name] = state
         return state
 
@@ -387,6 +414,16 @@ class EventFluxApp:
         ≙ reference Table::find over the whole store."""
         cols = [c for c, _ in self.streams[name].columns]
         return [tuple(r.get(c) for c in cols) for r in self._table_state(name)]
+
+    def flush_table(self, name: str) -> None:
+        """Write a JDBC-backed table's final state back to its store
+        (jdbc_table.rs write path; overwrite = final-state contract)."""
+        sd = self.streams[name]
+        if sd.options.get("backend") != "jdbc":
+            raise ValueError(f"table {name!r} has no jdbc backend to flush to")
+        from ..operators.tables import jdbc_write
+
+        jdbc_write(self._table_df(name).select(*[c for c, _ in sd.columns]), sd.options)
 
     # -- incremental aggregation queries --------------------------------------
 

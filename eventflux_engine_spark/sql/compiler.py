@@ -362,7 +362,7 @@ def parse_create(stmt: str) -> StreamDef:
         sd.shared_window = WindowSpec(wkind, params)
         return sd
     m = re.match(
-        r"CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.*)\)\s*(WITH\s*\((.*)\))?\s*$",
+        r"CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.*?)\)\s*(WITH\s*\((.*)\))?\s*$",
         stmt,
         re.IGNORECASE | re.DOTALL,
     )

@@ -143,11 +143,23 @@ def _mutated_columns(stmts) -> set[str]:
 def compiled_table_plan(app, name: str, stack: frozenset) -> DataFrame | None:
     """Build the table's final state as ONE Spark plan, or None when any
     statement targeting it falls outside the commuting classes."""
+    sd = app.streams[name]
     stmts = [d for d in app.dml if d.table == name]
-    if not stmts:
+    cache_max = (
+        int(sd.options.get("max_size", "0"))
+        if sd.options.get("backend") == "cache"
+        else None
+    )
+    if not stmts and cache_max is None and sd.options.get("backend") != "jdbc":
         return None
-    cols = [c for c, _ in app.streams[name].columns]
-    types = dict(app.streams[name].columns)
+    cols = [c for c, _ in sd.columns]
+    types = dict(sd.columns)
+
+    if cache_max is not None and any(d.kind in ("delete", "upsert") for d in stmts):
+        # eviction interleaves with membership changes — only the exact
+        # replay reproduces cache_table.rs; updates are membership- and
+        # order-preserving, so they stay on the compiled path
+        return None
 
     if any(d.kind == "upsert" for d in stmts):
         if len(stmts) != 1:
@@ -179,6 +191,13 @@ def compiled_table_plan(app, name: str, stack: frozenset) -> DataFrame | None:
             return None
 
     t = _adds_df(app, name, cols, types, stack)
+    if cache_max is not None:
+        # retention BEFORE updates: membership is append-only here, so the
+        # final rows are exactly the last max_size adds (TakeOrdered, no
+        # full sort) — and evicted rows never pay the update joins
+        from ..operators.tables import cache_retention
+
+        t = cache_retention(t, cache_max)
     for d, items in classified:
         t = _apply_update(app, t, d, items, cols, types, stack)
     for d in deletes:

@@ -97,3 +97,14 @@ def _log_sink(opts: dict):
 
 register_sink("log", _log_sink)
 register_table("parquet", lambda spark, opts: spark.read.parquet(opts["path"]))
+
+
+def _jdbc_table(spark, opts: dict):
+    """External-store table via Spark's jdbc datasource (≙ jdbc_table.rs:18;
+    Derby embedded driver ships in pyspark's jars — see operators/tables.py)."""
+    from ..operators.tables import jdbc_reader
+
+    return jdbc_reader(spark, opts).load()
+
+
+register_table("jdbc", _jdbc_table)

@@ -1183,3 +1183,161 @@ class TestCompiledDml:
         slow.send("In", [(1, "old value"), (2, "keep")])
         slow.send("Upd", [(1,)])
         assert slow.table("T") == fast.table("T")
+
+
+class TestTableBackends:
+    """Cache + JDBC table backends — transcribed from the reference's
+    tests/cache_table.rs and tests/jdbc_table.rs (table trait backends,
+    cache_table.rs:20 / jdbc_table.rs:18)."""
+
+    def test_cache_insert_and_eviction(self, spark):
+        # ≙ tests/cache_table.rs test_cache_insert_and_eviction: capacity 2,
+        # third insert evicts the oldest row
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (v INT);
+            CREATE TABLE T (v INT) WITH ('backend'='cache', 'max_size'='2');
+            INSERT INTO T SELECT v FROM In;
+            """
+        )
+        app.send("In", [(1,), (2,), (3,)])
+        assert app.table("T") == [(2,), (3,)]
+
+    def test_cache_update_delete_find(self, spark):
+        # ≙ tests/cache_table.rs test_cache_update_delete_find (delete forces
+        # the exact replay path — eviction interleaves with membership)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (v INT);
+            CREATE STREAM Upd (old INT, new INT);
+            CREATE STREAM Del (v INT);
+            CREATE TABLE T (v INT) WITH ('backend'='cache', 'max_size'='3');
+            INSERT INTO T SELECT v FROM In;
+            UPDATE T SET v = Upd.new FROM Upd WHERE T.v = Upd.old;
+            DELETE FROM T USING Del WHERE T.v = Del.v;
+            """
+        )
+        assert app._compiled_table_plan("T") is None  # delete → replay
+        app.send("In", [(1,)])
+        app.send("Upd", [(1, 2)])
+        app.send("Del", [(2,)])
+        assert app.table("T") == []
+
+    def test_cache_compiled_plan_matches_replay(self, spark):
+        # additive updates stay on the compiled path under retention
+        sql = """
+            CREATE STREAM In (id INT, v INT);
+            CREATE STREAM Dep (id INT, amount INT);
+            CREATE TABLE T (id INT, v INT) WITH ('backend'='cache', 'max_size'='2');
+            INSERT INTO T SELECT id, v FROM In;
+            UPDATE T SET v = T.v + Dep.amount FROM Dep WHERE T.id = Dep.id;
+        """
+
+        def drive(app):
+            app.send("In", [(1, 10), (2, 20)])
+            app.send("Dep", [(1, 5)])   # applies while row 1 is resident
+            app.send("In", [(3, 30)])   # evicts row 1
+            app.send("Dep", [(2, 7), (3, 1)])
+
+        fast = EventFluxApp(spark).execute(sql)
+        drive(fast)
+        plan = fast._compiled_table_plan("T")
+        assert plan is not None
+        assert "TakeOrderedAndProject" in plan._jdf.queryExecution().executedPlan().toString()
+        slow = EventFluxApp(spark).execute(sql)
+        slow._force_dml_replay = True
+        drive(slow)
+        assert sorted(fast.table("T")) == sorted(slow.table("T")) == [(2, 27), (3, 31)]
+
+    def test_cache_retention_without_dml(self, spark):
+        # a cache table read by an enrichment join applies retention even
+        # with no DML statements targeting it
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, label VARCHAR);
+            CREATE STREAM Probe (id INT);
+            CREATE STREAM Out (id INT, label VARCHAR);
+            CREATE TABLE T (id INT, label VARCHAR) WITH ('backend'='cache', 'max_size'='1');
+            INSERT INTO T SELECT id, label FROM In;
+            INSERT INTO Out SELECT Probe.id AS id, T.label AS label
+              FROM Probe JOIN T ON Probe.id = T.id;
+            """
+        )
+        app.send("In", [(1, "a"), (2, "b")])  # capacity 1: only (2,b) survives
+        app.send("Probe", [(1,), (2,)])
+        assert app.run("Out") == [(2, "b")]
+
+    def test_jdbc_backend_read_dml_flush(self, spark, tmpdir):
+        # ≙ tests/jdbc_table.rs insert/find/update/delete via an external
+        # store — Derby embedded engine through Spark's jdbc datasource
+        import os
+
+        from eventflux_engine_spark.operators.tables import jdbc_read, jdbc_write
+
+        url = f"jdbc:derby:{os.path.join(tmpdir, 'store')};create=true"
+        opts = {"url": url, "dbtable": "DIM"}
+        seed = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "id int, label string"
+        )
+        jdbc_write(seed, opts)  # external system populates the store
+
+        app = EventFluxApp(spark).execute(
+            f"""
+            CREATE STREAM In (id INT, label VARCHAR);
+            CREATE STREAM Upd (id INT, label VARCHAR);
+            CREATE TABLE T (id INT, label VARCHAR)
+              WITH ('backend'='jdbc', 'url'='{url}', 'dbtable'='DIM');
+            INSERT INTO T SELECT id, label FROM In;
+            UPDATE T SET label = Upd.label FROM Upd WHERE T.id = Upd.id;
+            """
+        )
+        app.send("In", [(3, "gamma")])
+        app.send("Upd", [(2, "BETA")])
+        # store rows precede events; update hits the store row
+        assert app.table("T") == [(1, "alpha"), (2, "BETA"), (3, "gamma")]
+        app.flush_table("T")
+        back = jdbc_read(spark, opts)
+        assert sorted(tuple(r) for r in back.collect()) == [
+            (1, "alpha"), (2, "BETA"), (3, "gamma"),
+        ]
+
+    def test_jdbc_enrichment_join_pushdown(self, spark, tmpdir):
+        # enrichment against the external store: the probe filter pushes
+        # down into the scan side of the plan (jdbc datasource filters)
+        import os
+
+        from eventflux_engine_spark.operators.tables import jdbc_write
+
+        url = f"jdbc:derby:{os.path.join(tmpdir, 'store2')};create=true"
+        jdbc_write(
+            spark.createDataFrame(
+                [(1, "x"), (2, "y"), (3, "z")], "id int, tag string"
+            ),
+            {"url": url, "dbtable": "TAGS"},
+        )
+        app = EventFluxApp(spark).execute(
+            f"""
+            CREATE STREAM Probe (id INT);
+            CREATE STREAM Out (id INT, tag VARCHAR);
+            CREATE TABLE T (id INT, tag VARCHAR)
+              WITH ('backend'='jdbc', 'url'='{url}', 'dbtable'='TAGS');
+            INSERT INTO Out SELECT Probe.id AS id, T.tag AS tag
+              FROM Probe JOIN T ON Probe.id = T.id;
+            """
+        )
+        app.send("Probe", [(2,), (3,)])
+        assert sorted(app.run("Out")) == [(2, "y"), (3, "z")]
+
+    def test_connector_registry_jdbc_table(self, spark, tmpdir):
+        import os
+
+        from eventflux_engine_spark.operators.tables import jdbc_write
+        from eventflux_engine_spark.streaming.registry import create_table
+
+        url = f"jdbc:derby:{os.path.join(tmpdir, 'store3')};create=true"
+        jdbc_write(
+            spark.createDataFrame([(7, "seven")], "id int, name string"),
+            {"url": url, "dbtable": "R"},
+        )
+        df = create_table("jdbc", spark, {"url": url, "dbtable": "R"})
+        assert [tuple(r) for r in df.collect()] == [(7, "seven")]
