@@ -660,6 +660,13 @@ class EventFluxApp:
             is_agg = bool(q.group_by) or any(
                 _AGG_RE.search(e) for e, _ in q.select_items
             )
+            if q.output_rate is not None and (
+                q.pattern is not None or is_agg or q.output_rate[0] == "SNAPSHOT"
+            ):
+                raise ValueError(
+                    "streaming OUTPUT rate limiting supports row-level "
+                    "FIRST/LAST/ALL EVERY n EVENTS / d TIME queries"
+                )
             if q.pattern is not None:
                 out = self._compile_pattern_stream(q, stream, watermark)
                 mode = "update" if False else "append"
@@ -713,9 +720,18 @@ class EventFluxApp:
                     )
                 if q.where:
                     out = out.filter(F.expr(q.where))
-                out = out.selectExpr(
-                    *[f"{e} AS {a}" if a else e for e, a in q.select_items], "__seq"
-                )
+                items = [f"{e} AS {a}" if a else e for e, a in q.select_items]
+                if q.output_rate is not None:
+                    # OUTPUT rate limiting runs INSIDE the live pipeline
+                    # (ratelimit/*.rs at select_processor.rs:30-38) — a
+                    # stateful counter / event-time bucket operator, not a
+                    # post-hoc batch filter
+                    from ..streaming.ratelimit import output_rate_stream
+
+                    out = out.selectExpr(*items, "__seq", "__ts")
+                    out = output_rate_stream(out, *q.output_rate).drop("__ts")
+                else:
+                    out = out.selectExpr(*items, "__seq")
                 mode = "append"
             else:
                 # non-windowed GROUP BY: running aggregation. The reference

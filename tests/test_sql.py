@@ -1341,3 +1341,77 @@ class TestTableBackends:
         )
         df = create_table("jdbc", spark, {"url": url, "dbtable": "R"})
         assert [tuple(r) for r in df.collect()] == [(7, "seven")]
+
+
+class TestStreamingOutputRate:
+    """OUTPUT rate limiting as a live stateful streaming operator
+    (streaming/ratelimit.py ≙ ratelimit/*.rs at select_processor.rs:30-38) —
+    streaming-vs-batch parity per tests/output_rate_limit_comprehensive.rs."""
+
+    def _parity(self, spark, output_clause, n_events=10):
+        sql = f"""
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Out SELECT v FROM S WHERE v >= 0 {output_clause};
+        """
+        rows = [(i,) for i in range(n_events)]
+        live = EventFluxApp(spark).execute(sql)
+        live.send("S", rows)
+        batch = EventFluxApp(spark).execute(sql)
+        batch.send("S", rows)
+        got = live.run_streaming("Out", n_chunks=4)
+        assert got == batch.run("Out"), output_clause
+        return got
+
+    def test_first_every_events(self, spark):
+        assert self._parity(spark, "OUTPUT FIRST EVERY 3 EVENTS") == [
+            (0,), (3,), (6,), (9,),
+        ]
+
+    def test_first_every_one_event(self, spark):
+        # EVERY 1 emits everything (output_rate_limit_comprehensive.rs:415)
+        assert self._parity(spark, "OUTPUT FIRST EVERY 1 EVENTS", 4) == [
+            (0,), (1,), (2,), (3,),
+        ]
+
+    def test_last_every_events(self, spark):
+        # trailing partial block (9) never emits
+        assert self._parity(spark, "OUTPUT LAST EVERY 3 EVENTS") == [
+            (2,), (5,), (8,),
+        ]
+
+    def test_all_every_events_blocks(self, spark):
+        # ALL releases complete 3-blocks; 10th event stays buffered
+        assert self._parity(spark, "OUTPUT ALL EVERY 3 EVENTS") == [
+            (i,) for i in range(9)
+        ]
+
+    def test_first_every_time(self, spark):
+        # app clock 1 s/event → 3-second buckets {0,1,2},{3,4,5},{6,7,8},{9}
+        assert self._parity(spark, "OUTPUT FIRST EVERY 3 SECONDS") == [
+            (0,), (3,), (6,), (9,),
+        ]
+
+    def test_last_every_time(self, spark):
+        # LAST holds each bucket's candidate until the bucket closes; the
+        # flush sentinel closes the final bucket
+        assert self._parity(spark, "OUTPUT LAST EVERY 3 SECONDS") == [
+            (2,), (5,), (8,), (9,),
+        ]
+
+    def test_all_every_time_passthrough(self, spark):
+        assert self._parity(spark, "OUTPUT ALL EVERY 3 SECONDS", 5) == [
+            (i,) for i in range(5)
+        ]
+
+    def test_aggregate_output_rate_rejected(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (n BIGINT);
+            INSERT INTO Out SELECT COUNT(*) AS n FROM S OUTPUT FIRST EVERY 2 EVENTS;
+            """
+        )
+        app.send("S", [(1,), (2,)])
+        with pytest.raises(ValueError, match="row-level"):
+            app.run_streaming("Out")
