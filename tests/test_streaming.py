@@ -428,3 +428,103 @@ class TestProcessingTimeWindow:
                 t.groupBy("role").agg(F.count(F.lit(1)).alias("cnt")).collect()}
         for role, cnt in want.items():
             assert per_role[role] >= cnt  # sentinel may share a role bucket
+
+
+class TestRevisionPersistence:
+    """Revision-pinned persist/restore (streaming/persistence.py ≙
+    eventflux_manager.rs:487-529 persist_app/restore_app_revision) —
+    transcribed from tests/app_runner_persistence.rs: persist at revision
+    k, restore k (also from a fresh process), replay the tail with no
+    duplicates and no loss."""
+
+    def _run(self, spark, feed_dir, sink, ckpt):
+        stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def test_persist_restore_replays_tail_exactly_once(self, spark, tmpdir):
+        from eventflux_engine_spark.streaming.persistence import RevisionStore
+
+        t = transcripts_df(spark, SF)
+        chunks = chunked_feed(t, os.path.join(tmpdir, "staging"), 4, ["ts", "conv_id"])
+        feed_dir = os.path.join(tmpdir, "feed")
+        os.makedirs(feed_dir)
+        table, ckpt = os.path.join(tmpdir, "table"), os.path.join(tmpdir, "ckpt")
+        sink = ExactlyOnceParquetSink(table)
+
+        # phase 1 (process A): two chunks, then persist -> revision
+        for c in chunks[:2]:
+            shutil.copy(c, feed_dir)
+        self._run(spark, feed_dir, sink, ckpt)
+        n_phase1 = sink.read(spark).count()
+        assert 0 < n_phase1 < t.count()
+        store = RevisionStore(os.path.join(tmpdir, "revs"), ckpt, {"out": sink})
+        rev = store.persist()
+
+        # phase 2: the tail arrives and commits past the revision
+        for c in chunks[2:]:
+            shutil.copy(c, feed_dir)
+        self._run(spark, feed_dir, sink, ckpt)
+        assert sink.read(spark).count() == t.count()
+
+        # process B: FRESH handles on the same dirs (manager restart,
+        # persist_shutdown_restore_state analog) — restore to the revision
+        sink_b = ExactlyOnceParquetSink(table)
+        store_b = RevisionStore(os.path.join(tmpdir, "revs"), ckpt, {"out": sink_b})
+        store_b.restore_revision(rev)
+        assert sink_b.read(spark).count() == n_phase1  # rolled back exactly
+
+        # replay: the restarted query reprocesses ONLY the tail
+        self._run(spark, feed_dir, sink_b, ckpt)
+        assert sink_b.read(spark).count() == t.count()  # no dup, no loss
+        # value-level check, not just counts
+        assert (
+            sink_b.read(spark)
+            .groupBy("conv_id", "turn_idx")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+            == 0
+        )
+
+    def test_restore_older_of_multiple_revisions(self, spark, tmpdir):
+        from eventflux_engine_spark.streaming.persistence import RevisionStore
+
+        t = transcripts_df(spark, SF)
+        chunks = chunked_feed(t, os.path.join(tmpdir, "staging"), 3, ["ts", "conv_id"])
+        feed_dir = os.path.join(tmpdir, "feed")
+        os.makedirs(feed_dir)
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        ckpt = os.path.join(tmpdir, "ckpt")
+        store = RevisionStore(os.path.join(tmpdir, "revs"), ckpt, {"out": sink})
+
+        counts = []
+        revs = []
+        for c in chunks:
+            shutil.copy(c, feed_dir)
+            self._run(spark, feed_dir, sink, ckpt)
+            counts.append(sink.read(spark).count())
+            revs.append(store.persist())
+        assert counts[0] < counts[1] < counts[2]
+        assert store.revisions() == revs
+
+        store.restore_revision(revs[0])  # skip back TWO revisions
+        assert sink.read(spark).count() == counts[0]
+        self._run(spark, feed_dir, sink, ckpt)  # full tail replays
+        assert sink.read(spark).count() == counts[2] == t.count()
+
+    def test_restore_unknown_revision_raises(self, spark, tmpdir):
+        from eventflux_engine_spark.streaming.persistence import RevisionStore
+
+        store = RevisionStore(
+            os.path.join(tmpdir, "revs"),
+            os.path.join(tmpdir, "ckpt"),
+            {"out": ExactlyOnceParquetSink(os.path.join(tmpdir, "t"))},
+        )
+        with pytest.raises(ValueError, match="unknown revision"):
+            store.restore_revision("rev-99999")
