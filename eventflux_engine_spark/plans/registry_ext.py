@@ -1268,3 +1268,36 @@ def q_cache_table_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("cached_purchase_value"),
         )
     )
+
+
+@register(
+    "ext_aggregator_ema",
+    """
+    SELECT event_type,
+           round(sum(value * (CASE WHEN rn = 1 THEN pow(0.7, n - 1)
+                                   ELSE 0.3 * pow(0.7, n - rn) END)), 4)
+             AS ema_value
+    FROM (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    doc="user attribute-aggregator extension (functions/extensions.py ≙ "
+    "eventflux_manager.rs:283-288 add_attribute_aggregator_factory, "
+    "tests/stateful_udf.rs): EMA(alpha=0.3) over arrival order as a "
+    "grouped-agg pandas UDF registered by name and callable from SQL; "
+    "the oracle evaluates the same recursion in closed form",
+)
+def q_ext_aggregator_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import extensions as ext
+
+    ext.add_attribute_aggregator_factory(
+        spark, "ema03", ext.ema_aggregator(0.3), "double"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("ema03(value, event_id)"), 4).alias("ema_value")
+    )

@@ -49,6 +49,19 @@ _AGG_RE = re.compile(
     r"\b(COUNT|SUM|AVG|MIN|MAX|STDDEV|STDDEV_POP|COUNT_DISTINCT|FIRST|LAST)\s*\(",
     re.IGNORECASE,
 )
+
+
+def _is_agg_expr(e: str) -> bool:
+    """Built-in aggregate OR a user attribute aggregator registered through
+    the extension factory surface (functions/extensions.py ≙
+    eventflux_manager.rs:283-288 add_attribute_aggregator_factory)."""
+    if _AGG_RE.search(e):
+        return True
+    from ..functions import extensions as ext
+
+    return ext.matches_registered_aggregator(e)
+
+
 _EREF_RE = re.compile(r"\b(e\d+)\.(\w+)")
 _EPOCH = datetime.datetime(2024, 1, 1)
 
@@ -591,7 +604,7 @@ class EventFluxApp:
                     "chains support one producer"
                 )
             if u.pattern or u.window or u.group_by or u.joins or any(
-                _AGG_RE.search(e) for e, _ in u.select_items
+                _is_agg_expr(e) for e, _ in u.select_items
             ):
                 raise ValueError(
                     "streaming chain intermediates must be row-level "
@@ -658,7 +671,7 @@ class EventFluxApp:
 
             name = f"__sqlstream_{target.lower()}"
             is_agg = bool(q.group_by) or any(
-                _AGG_RE.search(e) for e, _ in q.select_items
+                _is_agg_expr(e) for e, _ in q.select_items
             )
             if q.output_rate is not None and (
                 q.pattern is not None or is_agg or q.output_rate[0] == "SNAPSHOT"
@@ -677,7 +690,7 @@ class EventFluxApp:
                 aggs = [
                     F.expr(e).alias(a) if a else F.expr(e)
                     for e, a in q.select_items
-                    if _AGG_RE.search(e)
+                    if _is_agg_expr(e)
                 ]
                 keys = [g.strip() for g in (q.group_by or "").split(",") if g.strip()]
                 if q.where:
@@ -745,7 +758,7 @@ class EventFluxApp:
                 aggs = [
                     F.expr(e).alias(a) if a else F.expr(e)
                     for e, a in q.select_items
-                    if _AGG_RE.search(e)
+                    if _is_agg_expr(e)
                 ]
                 src_f = stream.filter(F.expr(q.where)) if q.where else stream
                 out = P.group_agg_update_stream(src_f, keys, aggs)
@@ -855,7 +868,7 @@ class EventFluxApp:
             self._register(s, stack)
 
         is_agg = bool(q.group_by) or any(
-            _AGG_RE.search(e) for e, _ in q.select_items
+            _is_agg_expr(e) for e, _ in q.select_items
         )
         items = [f"{e} AS {a}" if a else e for e, a in q.select_items]
         pkey = q.partition_keys.get(q.source)  # PARTITION WITH key, if any
@@ -923,10 +936,33 @@ class EventFluxApp:
                 where = ""
                 win = None
             else:
-                raise ValueError(
-                    f"WINDOW('{w.kind}') unsupported in the SQL layer — use "
-                    "the DataFrame operators (operators/windows.py)"
-                )
+                # user window factory (functions/extensions.py ≙
+                # eventflux_manager.rs:272-278 add_window_factory +
+                # WindowProcessorFactory lookup): the factory transforms the
+                # source stream into the window's retained contents
+                from ..functions import extensions as ext
+
+                factory = ext.get_window_factory(w.kind)
+                if factory is None:
+                    raise ValueError(
+                        f"WINDOW('{w.kind}') unsupported in the SQL layer — "
+                        "use the DataFrame operators (operators/windows.py) "
+                        "or register an extension via add_window_factory"
+                    )
+                src_df = self.spark.table(q.source)
+                if q.where:
+                    # filter precedes the window, as in the reference chain
+                    src_df = src_df.filter(F.expr(q.where))
+                    where = ""
+                wdf = factory(src_df, list(w.params), pkey)
+                view = f"__extwin_{q.target.lower()}"
+                wdf.createOrReplaceTempView(view)
+                src = view
+                win = None
+                if q.group_by:
+                    group = f" GROUP BY {q.group_by}"
+                    if pkey:
+                        group += f", {pkey}"
             if win is not None:
                 if not is_agg:
                     raise ValueError("time windows require aggregation in SQL layer")

@@ -1415,3 +1415,121 @@ class TestStreamingOutputRate:
         app.send("S", [(1,), (2,)])
         with pytest.raises(ValueError, match="row-level"):
             app.run_streaming("Out")
+
+
+class TestExtensionFactories:
+    """User extension factories (functions/extensions.py ≙
+    eventflux_manager.rs:263-348): scalar functions, attribute aggregators,
+    and window processors registered by name, used from the SQL dialect —
+    shaped like tests/stateful_udf.rs / tests/dynamic_ext_integration.rs."""
+
+    def test_scalar_function_factory(self, spark):
+        from eventflux_engine_spark.functions import extensions as ext
+
+        ext.add_scalar_function_factory(
+            spark, "shout", lambda s: s.str.upper() + "!", "string"
+        )
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (w VARCHAR);
+            CREATE STREAM Out (loud VARCHAR);
+            INSERT INTO Out SELECT shout(w) AS loud FROM S;
+            """
+        )
+        app.send("S", [("hey",), ("ho",)])
+        assert app.run("Out") == [("HEY!",), ("HO!",)]
+
+    def test_attribute_aggregator_ema(self, spark):
+        # order-sensitive custom aggregator: EMA over arrival order,
+        # recognized by the dialect as an aggregate (GROUP BY compiles)
+        from eventflux_engine_spark.functions import extensions as ext
+
+        ext.add_attribute_aggregator_factory(
+            spark, "ema03", ext.ema_aggregator(0.3), "double"
+        )
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, price DOUBLE);
+            CREATE STREAM Out (sym VARCHAR, e DOUBLE);
+            INSERT INTO Out SELECT sym, round(ema03(price, __seq), 6) AS e
+            FROM S GROUP BY sym;
+            """
+        )
+        app.send("S", [("a", 10.0), ("a", 20.0), ("b", 5.0), ("a", 30.0)])
+        # a: y=10 -> .3*20+.7*10=13 -> .3*30+.7*13=18.1
+        assert sorted(app.run("Out")) == [("a", 18.1), ("b", 5.0)]
+
+    def test_attribute_aggregator_median(self, spark):
+        from eventflux_engine_spark.functions import extensions as ext
+
+        ext.add_attribute_aggregator_factory(
+            spark, "median_agg", ext.median_aggregator(), "double"
+        )
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (k VARCHAR, v DOUBLE);
+            CREATE STREAM Out (k VARCHAR, m DOUBLE);
+            INSERT INTO Out SELECT k, median_agg(v) AS m FROM S GROUP BY k;
+            """
+        )
+        app.send("S", [("a", 1.0), ("a", 9.0), ("a", 2.0), ("b", 4.0), ("b", 6.0)])
+        assert sorted(app.run("Out")) == [("a", 2.0), ("b", 5.0)]
+
+    def test_window_factory_stride(self, spark):
+        # custom window kind: stride(n) keeps every n-th arrival — a
+        # WindowProcessorFactory analog dispatched from WINDOW('stride', n)
+        from pyspark.sql import functions as F
+
+        from eventflux_engine_spark.functions import extensions as ext
+
+        def stride(df, params, pkey):
+            n = int(params[0])
+            return df.filter((F.col("__seq") % n) == 0)
+
+        ext.add_window_factory("stride", stride)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (total BIGINT, n BIGINT);
+            INSERT INTO Out
+            SELECT SUM(v) AS total, COUNT(*) AS n FROM S WINDOW('stride', 2);
+            """
+        )
+        app.send("S", [(1,), (2,), (4,), (8,), (16,)])  # seq 0..4 -> keep 1,4,16
+        assert app.run("Out") == [(21, 3)]
+
+    def test_window_factory_stateful_running_count(self, spark):
+        # tests/stateful_udf.rs analog: the 'stateful scalar' (a counter
+        # across events) is a window extension in the Spark mapping —
+        # state belongs to window/aggregator extensions, not scalars
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from eventflux_engine_spark.functions import extensions as ext
+
+        def numbered(df, params, pkey):
+            w = W.orderBy("__seq")
+            return df.withColumn("call_no", F.row_number().over(w).cast("int"))
+
+        ext.add_window_factory("numbered", numbered)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v VARCHAR);
+            CREATE STREAM Out (v VARCHAR, call_no INT);
+            INSERT INTO Out SELECT v, call_no FROM S WINDOW('numbered');
+            """
+        )
+        app.send("S", [("x",), ("y",), ("z",)])
+        assert app.run("Out") == [("x", 1), ("y", 2), ("z", 3)]
+
+    def test_unknown_window_kind_still_errors(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (n BIGINT);
+            INSERT INTO Out SELECT COUNT(*) AS n FROM S WINDOW('nosuch', 1);
+            """
+        )
+        app.send("S", [(1,)])
+        with pytest.raises(ValueError, match="add_window_factory"):
+            app.run("Out")
