@@ -538,3 +538,52 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(DD.normalize_ascii(F.col("text"))).alias("fp")
     )
+
+
+@register(
+    "text_cdc_gear_chunks",
+    """
+    SELECT doc_id,
+           cast(1 + len(list_filter(generate_series(8, length(text)), pos ->
+             (list_aggregate(list_transform(
+                 generate_series(greatest(1, pos - 31), pos),
+                 i -> (((ascii(substr(text, i, 1)) % 256) * 2654435761)
+                        % 4294967296 * (1::BIGINT << (pos - i)))
+                      % 4294967296),
+               'sum') % 4294967296) % 64 = 0
+           )) AS INTEGER) AS n_chunks
+    FROM documents
+    """,
+    doc="content-defined chunking with a TRUE O(1)-per-step gear rolling "
+    "hash (the scale path text_cdc_chunks's docstring promised): "
+    "h = (2h + gear[byte]) mod 2^32 folded once over the document inside "
+    "F.aggregate — one sequential JVM-side scan, ONE hash update per "
+    "character (vs one md5 digest per position), boundary wherever "
+    "h % 64 == 0 past position 8. The oracle evaluates the equivalent "
+    "32-term windowed sum (shifts >= 32 vanish mod 2^32) in exact integer "
+    "arithmetic.",
+)
+def q_text_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long") % 256,
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(zero.alias("h"), zero.alias("nb"), zero.alias("pos"))
+
+    def step(acc, c):
+        gear = (c * F.lit(2654435761)) % F.lit(4294967296)
+        h2 = (acc["h"] * 2 + gear) % F.lit(4294967296)
+        pos2 = acc["pos"] + 1
+        nb2 = acc["nb"] + F.when(
+            (pos2 >= 8) & (h2 % 64 == 0), F.lit(1)
+        ).otherwise(F.lit(0))
+        return F.struct(h2.alias("h"), nb2.alias("nb"), pos2.alias("pos"))
+
+    folded = F.aggregate(codes, init, step)
+    return docs.select(
+        "doc_id",
+        F.when(n >= 8, folded["nb"] + 1).otherwise(F.lit(1)).cast("int").alias("n_chunks"),
+    )

@@ -528,3 +528,94 @@ class TestRevisionPersistence:
         )
         with pytest.raises(ValueError, match="unknown revision"):
             store.restore_revision("rev-99999")
+
+
+class TestQueryMetricsListener:
+    """Per-query latency/throughput/buffered trackers over Spark's
+    StreamingQueryListener (streaming/metrics.py ≙ metrics.rs:21-126
+    LatencyTracker/ThroughputTracker/BufferedEventsTracker)."""
+
+    def test_listener_captures_per_query_rates(self, spark, tmpdir):
+        import time
+
+        from eventflux_engine_spark.streaming.metrics import QueryMetricsListener
+
+        t = transcripts_df(spark, SF)
+        feed_dir = os.path.join(tmpdir, "feed")
+        chunked_feed(t, feed_dir, 3, ["ts", "conv_id"])
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        listener = QueryMetricsListener()
+        spark.streams.addListener(listener)
+        try:
+            stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+            q = (
+                stream.writeStream.foreachBatch(sink.foreach_batch())
+                .queryName("metrics_probe")
+                .option(
+                    "checkpointLocation", os.path.join(tmpdir, "ckpt")
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            # listener delivery is async: wait for all batches to land
+            for _ in range(100):
+                try:
+                    if (
+                        listener.metrics("metrics_probe")["input_rows"]
+                        >= t.count()
+                    ):
+                        break
+                except KeyError:
+                    pass
+                time.sleep(0.1)
+            m = listener.metrics("metrics_probe")
+            assert m["input_rows"] == t.count()  # throughput totals conserve
+            assert m["batches"] >= 3  # one per fed chunk
+            assert m["avg_latency_ms"] and m["avg_latency_ms"] > 0
+            assert m["latency_ms_max"] >= m["avg_latency_ms"]
+            assert m["avg_processed_rows_per_sec"] > 0
+            merged = listener.merged_metrics("metrics_probe", sink)
+            # engine-side input == exactly-once committed output
+            assert merged["sink"]["total_rows"] == m["input_rows"]
+        finally:
+            spark.streams.removeListener(listener)
+
+    def test_two_queries_tracked_separately(self, spark, tmpdir):
+        import time
+
+        from eventflux_engine_spark.streaming.metrics import QueryMetricsListener
+
+        t = transcripts_df(spark, SF).limit(60)
+        feed_a = os.path.join(tmpdir, "fa")
+        feed_b = os.path.join(tmpdir, "fb")
+        chunked_feed(t, feed_a, 2, ["ts", "conv_id"])
+        chunked_feed(t.limit(20), feed_b, 1, ["ts", "conv_id"])
+        listener = QueryMetricsListener()
+        spark.streams.addListener(listener)
+        try:
+            handles = []
+            for name, feed in (("qa", feed_a), ("qb", feed_b)):
+                s = stream_from_dir(spark, feed, TRANSCRIPT_SCHEMA)
+                handles.append(
+                    s.writeStream.format("memory").queryName(name).start()
+                )
+            for h in handles:
+                h.processAllAvailable()
+                h.stop()
+            for _ in range(100):
+                try:
+                    if (
+                        listener.metrics("qa")["input_rows"] >= 60
+                        and listener.metrics("qb")["input_rows"] >= 20
+                    ):
+                        break
+                except KeyError:
+                    pass
+                time.sleep(0.1)
+            assert listener.metrics("qa")["input_rows"] == 60
+            assert listener.metrics("qb")["input_rows"] == 20
+            with pytest.raises(KeyError):
+                listener.metrics("nosuch")
+        finally:
+            spark.streams.removeListener(listener)
