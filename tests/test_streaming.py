@@ -619,3 +619,93 @@ class TestQueryMetricsListener:
                 listener.metrics("nosuch")
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestBackpressureStrategies:
+    """Sink-side backpressure (streaming/backpressure.py ≙
+    backpressure.rs:15-30 strategies, stream_junction.rs:144-152 selection).
+    Block is Spark's own admission control (maxFilesPerTrigger — covered by
+    the chunked-feed tests); Drop/Backoff/BlockWithTimeout/CircuitBreaker
+    wrap the foreachBatch sink."""
+
+    def test_drop_overflow_budget(self, spark, tmpdir):
+        from eventflux_engine_spark.streaming.backpressure import DropOverflowSink
+
+        t = transcripts_df(spark, SF).limit(90).withColumn(
+            "__seq", F.col("turn_idx").cast("long")
+        )
+        feed_dir = os.path.join(tmpdir, "feed")
+        chunked_feed(t, feed_dir, 3, ["ts", "conv_id"])
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        drop = DropOverflowSink(sink.foreach_batch(), budget=20)
+        stream = spark.readStream.schema(t.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(feed_dir)
+        q = stream.writeStream.foreachBatch(drop).option(
+            "checkpointLocation", os.path.join(tmpdir, "ckpt")
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        m = drop.metrics()
+        # each of the 3 epochs admits at most 20 rows; conservation holds
+        assert sink.read(spark).count() == m["total_admitted_events"] <= 60
+        assert m["total_admitted_events"] + m["total_dropped_events"] == 90
+        for c in sink.commits():
+            assert c["rows"] <= 20
+
+    def test_exponential_backoff_retries_then_succeeds(self, spark):
+        from eventflux_engine_spark.streaming.backpressure import BackoffSink
+
+        calls, slept = [], []
+        def flaky(df, epoch_id):
+            calls.append(epoch_id)
+            if len(calls) <= 3:
+                raise RuntimeError("downstream full")
+
+        bp = BackoffSink(flaky, base_delay_ms=10, max_delay_ms=40,
+                         max_retries=5, sleeper=slept.append)
+        df = spark.range(5)
+        bp(df, 0)
+        assert len(calls) == 4  # 3 failures + 1 success
+        assert bp.delays_ms == [10, 20, 40]  # doubling, capped at max
+        assert slept == [0.01, 0.02, 0.04]
+
+    def test_backoff_exhaustion_reraises_or_drops(self, spark):
+        from eventflux_engine_spark.streaming.backpressure import BackoffSink
+
+        def always_fail(df, epoch_id):
+            raise RuntimeError("down")
+
+        df = spark.range(3)
+        strict = BackoffSink(always_fail, max_retries=2, sleeper=lambda s: None)
+        with pytest.raises(RuntimeError, match="down"):
+            strict(df, 0)
+        lossy = BackoffSink(always_fail, max_retries=2, sleeper=lambda s: None,
+                            drop_on_timeout=True)
+        lossy(df, 0)  # BlockWithTimeout: drop, don't fail the query
+        assert lossy.total_timeout_events == 1
+
+    def test_circuit_breaker_opens_and_recovers(self, spark):
+        from eventflux_engine_spark.streaming.backpressure import CircuitBreakerSink
+
+        now = [0.0]
+        ok = [False]
+        def flaky(df, epoch_id):
+            if not ok[0]:
+                raise RuntimeError("down")
+
+        cb = CircuitBreakerSink(flaky, failure_threshold=2,
+                                recovery_timeout_ms=500, clock=lambda: now[0])
+        df = spark.range(1)
+        for _ in range(2):  # two consecutive failures -> OPEN
+            with pytest.raises(RuntimeError, match="down"):
+                cb(df, 0)
+        assert cb.state == "open"
+        with pytest.raises(RuntimeError, match="circuit open"):
+            cb(df, 1)  # fail fast, sink untouched
+        assert cb.total_circuit_breaks == 1
+        now[0] = 0.6  # past recovery timeout -> HALF-OPEN probe allowed
+        assert cb.state == "half_open"
+        ok[0] = True
+        cb(df, 2)  # probe succeeds -> CLOSED
+        assert cb.state == "closed" and cb.failures == 0
