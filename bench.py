@@ -108,18 +108,26 @@ def main() -> None:
     # sections measure the pipeline, not the ContextCleaner's backlog
     spark.catalog.clearCache()
 
-    # CEP sections run best-of-2: this host shows 2-6x run-to-run noise
+    # CEP sections run best-of-3: this host shows 2-6x run-to-run noise
     # (python-worker churn, CPU unsaturated) — plans are REBUILT per rep so
-    # Spark cannot reuse shuffle files (r1 gotcha)
-    def best_of(n_reps: int, fn) -> float:
-        best = float("inf")
+    # Spark cannot reuse shuffle files (r1 gotcha).  Per-rep times are
+    # reported in `cep_rep_times` so round-over-round deltas can be read
+    # against the observed distribution rather than a single draw (r2
+    # verdict item 8).
+    rep_times: dict[str, list] = {}
+
+    def best_of(name: str, n_reps: int, fn) -> float:
+        times = []
         for rep in range(n_reps):
             t0 = time.time()
             fn(rep)
-            best = min(best, time.time() - t0)
-        return best
+            times.append(round(time.time() - t0, 3))
+        rep_times[name] = times
+        return min(times)
 
-    cep_s = best_of(2, lambda rep: cep_pipeline_rows(spark, CEP_TURNS + rep))
+    cep_s = best_of(
+        "cep_pipeline_synth", 3, lambda rep: cep_pipeline_rows(spark, CEP_TURNS + rep)
+    )
     timings["cep_pipeline_synth"] = round(cep_s, 3)
 
     # fused single-pass pipeline over bucketed input (the 100TB plan):
@@ -145,7 +153,7 @@ def main() -> None:
         )
         fused_transcript_pipeline(tbr, spec, input_sorted=True).groupBy().count().collect()
 
-    fused_s = best_of(2, run_fused)
+    fused_s = best_of("cep_fused_bucketed", 3, run_fused)
     timings["cep_fused_bucketed"] = round(fused_s, 3)
 
     # skew variant: 30% of turns in ONE conversation; the shuffled-NFA path
@@ -159,7 +167,9 @@ def main() -> None:
         )
         match_pattern_batch(th, spec).groupBy().count().collect()
 
-    timings["cep_pattern_hot30_skew"] = round(best_of(2, run_skew), 3)
+    timings["cep_pattern_hot30_skew"] = round(
+        best_of("cep_pattern_hot30_skew", 3, run_skew), 3
+    )
 
     # round-1-comparable headline: the SAME query set BENCH_r01 measured
     # (round 2 added queries to `queries` — the primary value must not
@@ -187,6 +197,7 @@ def main() -> None:
                 "cep_turns_per_sec": round(CEP_TURNS / cep_s, 1),
                 "cep_fused_turns_per_sec": round(CEP_TURNS / fused_s, 1),
                 "cep_synth_turns": CEP_TURNS,
+                "cep_rep_times": rep_times,
             }
         )
     )

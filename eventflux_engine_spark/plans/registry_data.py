@@ -306,9 +306,10 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = queries.join(
         cand, (F.col("q_cell") == F.col("c_id")) & (F.col("q_id") != F.col("n_id"))
     )
-    rw = Window.partitionBy("q_id").orderBy(
-        SIM.qcosine(F.col("q_emb"), F.col("n_emb")).desc(), F.col("n_id")
-    )
+    # compute the quantized cosine ONCE per candidate pair; the rank window
+    # orders by the materialized column instead of re-evaluating the
+    # O(dim) aggregate expression inside the sort key (r2 plan audit)
+    rw = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
     return (
         paired.withColumn("cos_raw", SIM.qcosine(F.col("q_emb"), F.col("n_emb")))
         .withColumn("rank", F.row_number().over(rw))
