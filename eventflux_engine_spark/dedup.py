@@ -131,8 +131,13 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 # -- shingling + MinHash + LSH ------------------------------------------------
 
-def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct k-word shingles per document (narrow explode, no shuffle)."""
+def doc_shingles(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True) -> DataFrame:
+    """Distinct k-word shingles per document (narrow explode, no shuffle).
+
+    ``distinct=False`` skips the set-dedup shuffle — correct for consumers
+    that are idempotent over duplicate shingles (MinHash: min() over a
+    multiset equals min() over its set), where it removes the only
+    wide exchange of raw shingle strings from the pipeline."""
     words = F.split(normalize_ascii(F.col("text")), " ")
     # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0] — docs with
     # fewer than k words must produce no shingles (like DuckDB's empty
@@ -149,7 +154,8 @@ def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     shingle = F.concat_ws(
         " ", *[F.element_at(F.col("w"), F.col("i") + j) for j in range(k)]
     )
-    return d.select("doc_id", shingle.alias("shingle")).distinct()
+    out = d.select("doc_id", shingle.alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def shingles_sql(k: int = SHINGLE_K) -> str:
@@ -168,45 +174,56 @@ shingles AS (
 """
 
 
-# one md5 digest yields four independent 32-bit hashes (hex slices 1-8,
-# 9-16, 17-24, 25-32) → N_HASHES functions need only N_HASHES/4 digests.
-# Both engines derive the slices from the same digest, so the oracle stays
-# bit-exact while the dominant md5 cost drops 4x.
-_SLICES = [1, 9, 17, 25]
+# The classic universal-hashing MinHash construction: ONE md5 digest per
+# shingle yields a 32-bit base hash h, and the N_HASHES functions are linear
+# permutations h_i = (a_i*h + b_i) mod p over the prime field p = largest
+# prime < 2^32.  Both engines evaluate identical BIGINT arithmetic on the
+# identical md5-derived base, so the oracle stays bit-exact while the
+# dominant digest cost drops to one md5 per shingle (was N_HASHES/4).
+# a_i < 2^31 and h < 2^32 keep a_i*h + b_i < 2^63 (no signed-64 overflow in
+# either engine).
+_MH_P = 4294967291  # largest prime < 2^32
+_MH_A = [(1103515245 * (i + 1) + 12345) % 2147483647 or 1 for i in range(64)]
+_MH_B = [((i + 1) * 2654435761) % _MH_P for i in range(64)]
 
 
 def _mh_exprs_spark(col: Column, n_hashes: int) -> list[Column]:
-    out = []
-    for seed in range((n_hashes + 3) // 4):
-        digest = F.md5(F.concat(F.lit(f"s{seed}:"), col))
-        for sl in _SLICES:
-            if len(out) == n_hashes:
-                break
-            out.append(
-                F.conv(F.substring(digest, sl, 8), 16, 10).cast("bigint")
-            )
-    return out
+    base = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    return [
+        (F.lit(_MH_A[i]) * base + F.lit(_MH_B[i])) % F.lit(_MH_P)
+        for i in range(n_hashes)
+    ]
+
+
+def _mh_base_sql(col_sql: str) -> str:
+    return f"cast('0x' || substr(md5({col_sql}), 1, 8) AS BIGINT)"
 
 
 def _mh_exprs_sql(col_sql: str, n_hashes: int) -> list[str]:
-    out = []
-    for seed in range((n_hashes + 3) // 4):
-        digest = f"md5('s{seed}:' || {col_sql})"
-        for sl in _SLICES:
-            if len(out) == n_hashes:
-                break
-            out.append(f"cast('0x' || substr({digest}, {sl}, 8) AS BIGINT)")
-    return out
+    base = _mh_base_sql(col_sql)
+    return [f"({_MH_A[i]} * {base} + {_MH_B[i]}) % {_MH_P}" for i in range(n_hashes)]
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """MinHash signature: per doc, min of each seeded hash over its shingles.
     One hash agg on doc_id — the explode never leaves the partition."""
+    # materialize the md5-derived base hash ONCE per shingle row (aggregate
+    # expressions do not share subexpressions); the n_hashes permutations
+    # are then integer multiply-add-mod inside the min() inputs — no digest
+    # ever recomputed
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("__hb"),
+    )
     aggs = [
-        F.min(h).alias(f"mh{i}")
-        for i, h in enumerate(_mh_exprs_spark(F.col("shingle"), n_hashes))
+        F.min(
+            (F.lit(_MH_A[i]) * F.col("__hb") + F.lit(_MH_B[i])) % F.lit(_MH_P)
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_sql(n_hashes: int = N_HASHES) -> str:
@@ -342,8 +359,11 @@ def simhash(sh: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     shingles of (±1 by bit b of the shingle hash). One agg per doc.
 
     Input: (doc_id, shingle) from :func:`doc_shingles`."""
-    d = sh
-    h = hash32(F.col("shingle"), 99)
+    # materialize the md5-derived hash ONCE per shingle row: aggregate
+    # expressions do not share subexpressions, so referencing hash32(...)
+    # inside all `bits` sums would evaluate the digest `bits`× per row
+    d = sh.select("doc_id", hash32(F.col("shingle"), 99).alias("__h32"))
+    h = F.col("__h32")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

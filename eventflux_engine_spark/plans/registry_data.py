@@ -61,7 +61,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _aug_docs(spark, sf_dir)
-    sh = DD.doc_shingles(docs)
+    # distinct=False: min() is idempotent over duplicate shingles, so the
+    # signature is identical and the (doc_id, shingle) distinct-shuffle —
+    # the only wide exchange of raw strings in this pipeline — disappears;
+    # the groupBy(doc_id) partial agg collapses each doc map-side
+    sh = DD.doc_shingles(docs, distinct=False)
     sig = DD.minhash_signatures(sh)
     return DD.lsh_candidate_pairs(sig)
 
