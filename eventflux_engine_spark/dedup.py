@@ -256,16 +256,19 @@ def lsh_candidate_pairs(
     handled by exact dedup, which is cheaper); the cap is a window count
     over the bucket key, one extra narrow shuffle, deterministic. Default
     None keeps the exact reference semantics (oracle-gated)."""
-    band_rows = []
+    # band rows come from ONE explode over an array of (band, key) structs —
+    # NOT a union of per-band selects: Catalyst prunes a union branch's agg
+    # to just that band's columns and replicates the whole upstream
+    # shingle+hash+agg pipeline once PER BAND (observed 4x + 2x join sides
+    # = 8x the explode/md5 work in the executed plan)
+    entries = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
-        band_rows.append(
-            sig.select("doc_id", F.lit(b).alias("band"), key.alias("bkey"))
-        )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("__bb")
+    ).select("doc_id", F.col("__bb.band").alias("band"), F.col("__bb.bkey").alias("bkey"))
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -415,18 +418,26 @@ def simhash_near_pairs(
     """
     cw = bits // chunks
     mask = (1 << cw) - 1
-    chunk_rows = [
-        sh.select(
-            "doc_id",
-            "simhash",
+    # one explode over (chunk, cval) structs instead of a union of per-chunk
+    # selects — a union duplicates the upstream simhash agg subtree once per
+    # chunk in the executed plan (no general subplan reuse in Spark)
+    entries = [
+        F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * cw).bitwiseAND(F.lit(mask)).alias("cval"),
+            F.shiftright(F.col("simhash"), c * cw)
+            .bitwiseAND(F.lit(mask))
+            .alias("cval"),
         )
         for c in range(chunks)
     ]
-    buckets = chunk_rows[0]
-    for cr in chunk_rows[1:]:
-        buckets = buckets.unionByName(cr)
+    buckets = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("__cc")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("__cc.chunk").alias("chunk"),
+        F.col("__cc.cval").alias("cval"),
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -147,20 +147,33 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streamed corpus, codegen'd quantized dot products, per-query top-k",
 )
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    # quantize + norm each side ONCE (qcosine inlined per pair would
+    # re-quantize both vectors and recompute both self-norms per comparison);
+    # qcosine_pre reproduces qcosine's exact IEEE tree
+    embq = SIM.quantize_with_norm(load_table(spark, sf_dir, "embeddings"))
+    queries = embq.filter(F.col("vec_id") < 10)
     scored = (
         F.broadcast(
-            queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+            queries.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("qe").alias("qa"),
+                F.col("qn").alias("na"),
+            )
         )
         .crossJoin(
-            emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+            embq.select(
+                F.col("vec_id").alias("n_id"),
+                F.col("qe").alias("qb"),
+                F.col("qn").alias("nb"),
+            )
         )
         .filter(F.col("q_id") != F.col("n_id"))
         .select(
             "q_id",
             "n_id",
-            SIM.qcosine(F.col("q_emb"), F.col("n_emb")).alias("cos_raw"),
+            SIM.qcosine_pre(
+                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+            ).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
@@ -199,6 +212,38 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(spark: SparkSession, sf_dir: str):
+    """(quantized embeddings, nearest-centroid assignment) — shared by the
+    IVF gates.  Vectors are quantized + normed ONCE (`quantize_with_norm`),
+    the fixed codebook broadcasts pre-quantized, and the assignment is an
+    argmax-by-agg (max(struct(score, -c_id)) ≡ smallest-c_id tie-break):
+    map-side combine collapses each vector's k candidates before the
+    shuffle, where a row_number window would shuffle and sort all N×k
+    scored rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    embq = SIM.quantize_with_norm(emb)
+    centsq = embq.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qe").alias("qc"),
+        F.col("qn").alias("cn"),
+    )
+    scored = embq.crossJoin(F.broadcast(centsq))
+    best = F.max(
+        F.struct(
+            SIM.qcosine_pre(
+                F.col("qe"), F.col("qc"), F.col("qn"), F.col("cn")
+            ).alias("q"),
+            (-F.col("c_id")).alias("nc"),
+        )
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(best.alias("__best"))
+        .select("vec_id", (-F.col("__best.nc")).alias("c_id"))
+    )
+    return embq, assigned
+
+
 @register(
     "similarity_ivf_cells",
     f"""
@@ -224,17 +269,7 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-cell problem",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
-    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
-    w = Window.partitionBy("vec_id").orderBy(
-        SIM.qcosine(F.col("embedding"), F.col("c_emb")).desc(), F.col("c_id")
-    )
-    assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") == 1
-    )
+    _, assigned = _ivf_assign(spark, sf_dir)
     return assigned.groupBy(F.col("c_id").alias("cell")).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
@@ -281,41 +316,38 @@ _IVF_CENTROIDS_SQL = """
     "N/k per query, every join an equi-join on (vec_id | cell)",
 )
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
-    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
-    w = Window.partitionBy("vec_id").orderBy(
-        SIM.qcosine(F.col("embedding"), F.col("c_emb")).desc(), F.col("c_id")
-    )
-    assigned = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "c_id")
-    )
+    embq, assigned = _ivf_assign(spark, sf_dir)
     queries = (
         assigned.filter(F.col("vec_id") < 10)
-        .join(emb, "vec_id")
+        .join(embq, "vec_id")
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("c_id").alias("q_cell"),
-            F.col("embedding").alias("q_emb"),
+            F.col("qe").alias("qa"),
+            F.col("qn").alias("na"),
         )
     )
-    cand = (
-        assigned.withColumnRenamed("vec_id", "n_id")
-        .join(emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")), "n_id")
+    cand = assigned.withColumnRenamed("vec_id", "n_id").join(
+        embq.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("qe").alias("qb"),
+            F.col("qn").alias("nb"),
+        ),
+        "n_id",
     )
     paired = queries.join(
         cand, (F.col("q_cell") == F.col("c_id")) & (F.col("q_id") != F.col("n_id"))
     )
-    # compute the quantized cosine ONCE per candidate pair; the rank window
-    # orders by the materialized column instead of re-evaluating the
-    # O(dim) aggregate expression inside the sort key (r2 plan audit)
+    # compute the quantized cosine ONCE per candidate pair (pre-quantized
+    # arrays + precomputed norms = one dot fold); the rank window orders by
+    # the materialized column instead of re-evaluating the O(dim) aggregate
+    # expression inside the sort key (r2 plan audit)
     rw = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
     return (
-        paired.withColumn("cos_raw", SIM.qcosine(F.col("q_emb"), F.col("n_emb")))
+        paired.withColumn(
+            "cos_raw",
+            SIM.qcosine_pre(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")),
+        )
         .withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= 3)
         .select(

@@ -159,19 +159,25 @@ def brute_force_topk(
     a per-query top-k (row_number over cosine desc). At cluster scale the
     corpus side stays partitioned; no corpus shuffle happens.
     """
+    # norms precomputed per side: cosine() inlined per pair would recompute
+    # each vector's self-norm once per comparison; the quotient tree below
+    # (dot / (norm_a * norm_b)) is IEEE-identical to cosine()
     q = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
+    ).withColumn("q_norm", norm(F.col("q_emb")))
     c = corpus.select(
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
-    )
+    ).withColumn("n_norm", norm(F.col("n_emb")))
     joined = F.broadcast(q).crossJoin(c)
     if exclude_self:
         joined = joined.filter(F.col("q_id") != F.col("n_id"))
     scored = joined.select(
         "q_id",
         "n_id",
-        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")),
+            4,
+        ).alias("cos_sim"),
     )
     from pyspark.sql import Window
 
@@ -269,6 +275,33 @@ def qlsh_bucket_sql(
 NEAR_DUP_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2, 3), (4, 5, 6, 7))
 
 
+def quantize_with_norm(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_cols: tuple = ("vec_id",),
+    q_col: str = "qe",
+    n_col: str = "qn",
+) -> DataFrame:
+    """Quantize an embedding column ONCE and attach its norm.
+
+    qcosine(a, b) inlined per pair re-quantizes both arrays and recomputes
+    both self-norms for every comparison (3 O(dim) folds + 2 quantizations
+    per pair). Precomputing (quantized array, norm) per vector leaves ONE
+    dot fold per pair; ``qcosine_pre`` reproduces qcosine's exact IEEE
+    expression tree, so gated values are bit-identical."""
+    qarr = F.transform(F.col(emb_col), lambda x: _quant(x))
+    out = df.select(*id_cols, qarr.alias(q_col))
+    return out.withColumn(
+        n_col, F.sqrt(_qdot_arrays(F.col(q_col), F.col(q_col)).cast("double"))
+    )
+
+
+def qcosine_pre(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
+    """qcosine over pre-quantized arrays and pre-computed norms — the same
+    dot/(sqrt*sqrt) tree as :func:`qcosine`, evaluated with one fold."""
+    return _qdot_arrays(qa, qb).cast("double") / (na * nb)
+
+
 def _qdot_arrays(qa: Column, qb: Column) -> Column:
     """Exact bigint dot over already-quantized bigint arrays."""
     return F.aggregate(
@@ -304,17 +337,25 @@ def embedding_near_dup_lsh(
         "qnorm", F.sqrt(_qdot_arrays(F.col("qe"), F.col("qe")).cast("double"))
     )
     planes = hyperplanes(max(max(b) for b in bands) + 1, dim)
-    banded = None
+    # all band buckets in ONE pass over the quantized vectors, exploded from
+    # an array of (band, bkey) structs — a union of per-band selects would
+    # re-quantize and re-scan the embeddings once per band in the executed
+    # plan (no general subplan reuse in Spark)
+    entries = []
     for bi, plane_ids in enumerate(bands):
         bucket = F.lit(0)
         for k, j in enumerate(plane_ids):
             arr = F.array(*[F.lit(v).cast("bigint") for v in _qplane(planes[j])])
             d = _qdot_arrays(F.col("qe"), arr)
             bucket = bucket + F.when(d > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        part = base.select(
-            F.lit(bi).alias("band"), bucket.cast("int").alias("bkey"), "vec_id"
+        entries.append(
+            F.struct(F.lit(bi).alias("band"), bucket.cast("int").alias("bkey"))
         )
-        banded = part if banded is None else banded.unionByName(part)
+    banded = base.select(
+        "vec_id", F.explode(F.array(*entries)).alias("__bb")
+    ).select(
+        F.col("__bb.band").alias("band"), F.col("__bb.bkey").alias("bkey"), "vec_id"
+    )
     a = banded.select("band", "bkey", F.col("vec_id").alias("vec_a"))
     b = banded.select("band", "bkey", F.col("vec_id").alias("vec_b"))
     pairs = (
