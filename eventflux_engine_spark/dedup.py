@@ -50,6 +50,8 @@ __all__ = [
     "jaccard_on_candidates",
     "simhash",
     "simhash_near_pairs",
+    "dup_clusters",
+    "dup_clusters_sql",
     "AUG_DOCUMENTS_CTE",
 ]
 
@@ -481,5 +483,82 @@ sim_pairs AS (
          cast(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
   FROM sim_buckets a JOIN sim_buckets b
     ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+)
+"""
+
+
+# -- duplicate-cluster resolution (connected components) ----------------------
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    by iterative min-label propagation (the Pregel/hash-min algorithm every
+    distributed dedup pipeline ends with — pairs alone over-remove unless
+    grouped transitively).
+
+    Each round is one distributed join + hash-min agg: every vertex adopts
+    the smallest label among itself and its neighbors; convergence in
+    O(component diameter) rounds (near-dup clusters are shallow — a handful
+    of rounds even at corpus scale). The loop stops early the first round no
+    label changes (one count() action per round — the standard driver-side
+    fixpoint check; everything else stays on executors).
+
+    Input: (doc_a, doc_b) candidate pairs. Output: one row per distinct doc
+    in any pair — (doc_id, cluster_id) with cluster_id = min doc_id reachable
+    through the pair graph.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        # neighbor labels flow along edges; hash-min with the own label
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        # materialize the round (localCheckpoint truncates the lineage so
+        # iteration depth never grows the plan) and test the fixpoint
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dup_clusters_sql(pairs_cte: str = "cand_pairs") -> str:
+    """DuckDB twin: transitive min-reachable-id via a recursive CTE (UNION
+    dedup terminates it); requires the pairs CTE upstream."""
+    return f"""
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM {pairs_cte}
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM {pairs_cte}
+),
+reach AS (
+  WITH RECURSIVE r(doc_id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.doc_id
+  )
+  SELECT doc_id, min(label) AS cluster_id FROM r GROUP BY doc_id
 )
 """

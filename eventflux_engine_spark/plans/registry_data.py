@@ -92,6 +92,33 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_resolution",
+    _docs_sql(
+        "SELECT doc_id, cluster_id FROM reach",
+        extra_ctes=[
+            DD.shingles_sql(),
+            DD.minhash_sql(),
+            DD.lsh_pairs_sql(),
+            DD.JACCARD_SQL,
+            "verified AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5)",
+            DD.dup_clusters_sql("verified"),
+        ],
+    ),
+    doc="duplicate-CLUSTER resolution over Jaccard-verified near-dup pairs: "
+    "connected components via iterative hash-min label propagation "
+    "(O(diameter) rounds, one join+min-agg each, lineage truncated per "
+    "round) — pairs alone over-remove unless grouped transitively; the "
+    "oracle recomputes min-reachable-id with a recursive CTE",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _aug_docs(spark, sf_dir)
+    sh = DD.doc_shingles(docs)
+    pairs = DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
+    verified = DD.jaccard_on_candidates(sh, pairs).filter(F.col("jaccard") >= 0.5)
+    return DD.dup_clusters(verified)
+
+
+@register(
     "dedup_simhash",
     _docs_sql(
         "SELECT doc_a, doc_b, hamming FROM sim_pairs WHERE hamming <= 3",

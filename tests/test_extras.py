@@ -204,6 +204,33 @@ class TestLshBucketCap:
         assert capped < uncapped and capped <= 100  # bounded by the cap
 
 
+class TestDupClusters:
+    def test_transitive_chain_collapses_to_one_cluster(self, spark):
+        """a-b, b-c, c-d in separate LSH buckets must still resolve to ONE
+        cluster (pairs alone over-remove unless grouped transitively)."""
+        from eventflux_engine_spark.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "doc_a long, doc_b long",
+        )
+        out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+        assert {out[i] for i in (1, 2, 3, 4)} == {1}
+        assert {out[i] for i in (10, 11)} == {10}
+        assert {out[i] for i in (20, 21, 22)} == {20}
+
+    def test_reversed_chain_needs_propagation_rounds(self, spark):
+        """Descending chain (5-4, 4-3, ...) forces the min label to travel
+        the full diameter — exercises the fixpoint loop, not just round 1."""
+        from eventflux_engine_spark.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(i + 1, i) for i in range(1, 8)], "doc_a long, doc_b long"
+        )
+        out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+        assert set(out.values()) == {1} and len(out) == 8
+
+
 class TestMergeEquivalence:
     def test_merge_upsert_equals_sequential_replay(self, spark):
         """Property (hypothesis): the batch MERGE form equals event-at-a-time
