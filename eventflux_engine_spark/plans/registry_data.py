@@ -651,3 +651,114 @@ def q_text_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(n >= 8, folded["nb"] + 1).otherwise(F.lit(1)).cast("int").alias("n_chunks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: decontamination, deterministic splits, stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_decontaminate",
+    _docs_sql(
+        """
+        SELECT s.doc_id, count(*) AS n_shared
+        FROM shingles s
+        JOIN (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 97 = 0) b
+          USING (shingle)
+        WHERE s.doc_id % 97 <> 0
+        GROUP BY s.doc_id
+        """,
+        extra_ctes=[DD.shingles_sql()],
+    ),
+    doc="benchmark decontamination: flag training docs sharing ANY k-gram "
+    "shingle with the held-out set (doc_id % 97 here) — the standard "
+    "train/eval overlap scrub, as an equi-join on the shingle (the "
+    "benchmark side is tiny and broadcasts; never an all-pairs scan)",
+)
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = DD.doc_shingles(_aug_docs(spark, sf_dir))
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "curation_hash_split",
+    f"""
+    SELECT split, count(*) AS n_docs,
+           cast(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN {DD.hash32_sql("cast(doc_id AS VARCHAR)", 7)} % 100 < 90
+                  THEN 'train'
+                  WHEN {DD.hash32_sql("cast(doc_id AS VARCHAR)", 7)} % 100 < 95
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+    doc="deterministic train/val/test assignment by content-stable hash "
+    "(md5 of the doc key, identical in both engines): 90/5/5, stable "
+    "across reruns and cluster sizes — no sampling RNG, no shuffle "
+    "beyond the final tiny agg",
+)
+def q_curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = DD.hash32(F.col("doc_id").cast("string"), 7) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "curation_stratified_sample",
+    f"""
+    SELECT source, count(*) AS n_total,
+           cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM (
+      SELECT source,
+             {DD.hash32_sql("cast(doc_id AS VARCHAR)", 11)} % 1000 <
+               (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN 200
+                     WHEN source IN ('src5','src6','src7','src8','src9')
+                     THEN 500 ELSE 800 END) AS kept
+      FROM documents
+    ) GROUP BY source
+    """,
+    doc="stratified downsampling for mixture control: per-source keep rate "
+    "(20%/50%/80% here) applied via deterministic hash thresholding — the "
+    "domain-mixing primitive of training-data curation; reproducible on "
+    "any cluster size, zero coordination, filter evaluates at the scan",
+)
+def q_curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 200)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 500)
+        .otherwise(800)
+    )
+    kept = (DD.hash32(F.col("doc_id").cast("string"), 11) % 1000) < rate
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

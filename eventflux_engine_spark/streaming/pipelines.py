@@ -152,3 +152,25 @@ def enrichment_join_stream(
     """Stream-static enrichment join; the static side broadcasts
     (≙ TableJoinProcessor's O(1) indexed lookup)."""
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def exact_dedup_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first-arrival-wins on the normalized-text
+    fingerprint — the streaming twin of ``dedup.exact_dedup``'s keep-list.
+
+    ``dropDuplicates`` keeps per-fingerprint state in the state store;
+    pairing the fingerprint with the event-time column and a watermark
+    bounds that state (Spark drops fingerprint entries once the watermark
+    passes), which is what makes the operator runnable forever — an
+    unbounded dedup key set is the classic streaming-dedup OOM."""
+    from ..dedup import normalize_ascii
+
+    d = _ltz(df, ts_col).withColumn(
+        "fp", F.md5(normalize_ascii(F.col(text_col)))
+    )
+    return d.withWatermark(ts_col, watermark).dropDuplicates(["fp"])

@@ -709,3 +709,39 @@ class TestBackpressureStrategies:
         ok[0] = True
         cb(df, 2)  # probe succeeds -> CLOSED
         assert cb.state == "closed" and cb.failures == 0
+
+
+class TestStreamingDedup:
+    def test_streaming_exact_dedup_first_arrival_keeplist(self, spark, tmpdir):
+        """Feed 200 docs (60 unique normalized texts) in doc_id order as ONE
+        single-partition file: first-arrival-wins must keep exactly the
+        min-doc_id representative per fingerprint — the same keep-list the
+        batch exact_dedup derives."""
+        import datetime
+
+        rows = [
+            (
+                i,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+                f"Document body number {i % 60} with shared phrasing.",
+            )
+            for i in range(200)
+        ]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        feed = os.path.join(tmpdir, "docfeed")
+        os.makedirs(feed)
+        pdf.to_parquet(
+            os.path.join(feed, "part0.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        stream = stream_from_dir(
+            spark, feed, "doc_id long, ts timestamp, text string"
+        )
+        out = P.exact_dedup_stream(stream)
+        name = _run_to_memory(out, "dedup_stream_out")
+        got = sorted(
+            r.doc_id for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
+        )
+        assert got == list(range(60))
