@@ -272,6 +272,14 @@ def qlsh_bucket_sql(
     return "cast(" + " + ".join(terms) + " AS INTEGER)"
 
 
+# 2 bands × 4 planes (16 buckets/band). Band-width tradeoff measured at
+# sf0.1 (2.7k vectors, 661 true pairs): this synthetic corpus is heavily
+# CORRELATED, so widening to 3 bands × 8 planes (256 buckets/band) only cut
+# candidates 782k → 349k — bucket skew, not bucket count, governs candidate
+# volume here — while theoretical recall fell 0.97 → ~0.90 (observed 661 →
+# 628 pairs). The production knobs for skew remain `max_bucket`-style caps
+# + exact dedup upstream (see dedup.lsh_candidate_pairs); band width buys
+# little against correlated mass.
 NEAR_DUP_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2, 3), (4, 5, 6, 7))
 
 
