@@ -10,9 +10,10 @@ without touching engine code.
 
 A factory is any callable ``(spark, options: dict) -> DataFrame`` (sources /
 tables) or ``(options: dict) -> foreachBatch-callable`` (sinks). Built-ins
-registered below cover the sandbox-runnable surface; connector families the
-reference ships as network clients (RabbitMQ/WebSocket) are intentionally
-absent per SURVEY §2.1 — registering one here is the extension point.
+registered below cover the sandbox-runnable surface, including a TCP
+``socket`` source/sink pair standing in for the reference's network
+connector family (RabbitMQ/WebSocket — no broker exists in the sandbox;
+a broker client would register here exactly like the built-ins).
 """
 
 from __future__ import annotations
@@ -120,3 +121,57 @@ def _jdbc_table(spark, opts: dict):
 
 
 register_table("jdbc", _jdbc_table)
+
+
+def _socket_source(spark, opts: dict):
+    """Network text-line source via Spark's built-in socket reader (≙ the
+    reference's WebSocket/TCP source family — no broker exists in this
+    sandbox, so the transport is a raw TCP line stream; framing/handshake
+    layers would wrap this factory). Lines arrive as one `value` string
+    column; pass 'json_schema' to apply the JSON mapper in-plan."""
+    df = (
+        spark.readStream.format("socket")
+        .option("host", opts.get("host", "127.0.0.1"))
+        .option("port", int(opts["port"]))
+        .load()
+    )
+    if "json_schema" in opts:
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            F.from_json(F.col("value"), opts["json_schema"]).alias("j")
+        ).select("j.*")
+    return df
+
+
+def _socket_sink(opts: dict):
+    """TCP line sink (≙ reference WebSocket/TCP sink family): each
+    micro-batch serializes rows to JSON lines and writes them over TCP.
+    Delivery is per PARTITION from the executors — every partition opens
+    its own connection, so the send parallelizes with the data instead of
+    collecting to the driver; at-least-once under retries (pair with the
+    exactly-once parquet sink when delivery accounting matters)."""
+    host = opts.get("host", "127.0.0.1")
+    port = int(opts["port"])
+
+    def fb(df, epoch_id):
+        from pyspark.sql import functions as F
+
+        lines = df.select(F.to_json(F.struct("*")).alias("line"))
+
+        def send_partition(rows):
+            import socket as pysock
+
+            buf = "".join(r["line"] + "\n" for r in rows)
+            if not buf:
+                return
+            with pysock.create_connection((host, port), timeout=15) as s:
+                s.sendall(buf.encode("utf-8"))
+
+        lines.foreachPartition(send_partition)
+
+    return fb
+
+
+register_source("socket", _socket_source)
+register_sink("socket", _socket_sink)
