@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime
 import re
+import threading
 from typing import Any
 
 import pandas as pd
@@ -81,6 +82,11 @@ class EventFluxApp:
         #: even when the statements compile to MERGE plans
         self._force_dml_replay = False
         self._seq = 0
+        # concurrent senders serialize on the junction lock: each send()
+        # call is atomic, so one caller's batch lands contiguously in the
+        # global arrival order (stream_junction.rs concurrent-publisher
+        # contract; exercised by the app_runner_stress.rs-style pytest)
+        self._send_lock = threading.Lock()
 
     # -- DDL / DML registration ------------------------------------------
 
@@ -154,12 +160,15 @@ class EventFluxApp:
         stamps wall-clock on arrival, input_handler.rs:65 — we stamp a
         deterministic 1-second-per-event clock unless ``ts`` is given)."""
         sd = self.streams[stream]
-        for i, r in enumerate(rows):
-            if len(r) != len(sd.columns):
-                raise ValueError(f"{stream} expects {len(sd.columns)} cols, got {r}")
-            t = ts[i] if ts else _EPOCH + datetime.timedelta(seconds=self._seq)
-            self._rows[stream].append((*r, self._seq, t))
-            self._seq += 1
+        with self._send_lock:
+            for i, r in enumerate(rows):
+                if len(r) != len(sd.columns):
+                    raise ValueError(
+                        f"{stream} expects {len(sd.columns)} cols, got {r}"
+                    )
+                t = ts[i] if ts else _EPOCH + datetime.timedelta(seconds=self._seq)
+                self._rows[stream].append((*r, self._seq, t))
+                self._seq += 1
 
     # -- evaluation ---------------------------------------------------------
 

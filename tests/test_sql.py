@@ -1533,3 +1533,46 @@ class TestExtensionFactories:
         app.send("S", [(1,)])
         with pytest.raises(ValueError, match="add_window_factory"):
             app.run("Out")
+
+
+class TestConcurrentSenders:
+    """≙ tests/app_runner_stress.rs (concurrent senders) +
+    stream_junction_stress.rs: N threads publish batches into one junction;
+    every event must be processed exactly once and each publisher's batch
+    must land contiguously in arrival order (send() is atomic)."""
+
+    def test_concurrent_sends_conserve_and_stay_contiguous(self, spark):
+        import threading
+
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (worker INT, i INT, v INT);
+            CREATE STREAM Out (worker INT, i INT);
+            INSERT INTO Out SELECT worker, i FROM S WHERE v % 2 = 0;
+            """
+        )
+        n_workers, per_batch, n_batches = 8, 25, 4
+
+        def sender(w: int):
+            for b in range(n_batches):
+                rows = [
+                    (w, b * per_batch + k, (b * per_batch + k) * 2)
+                    for k in range(per_batch)
+                ]
+                app.send("S", rows)
+
+        threads = [threading.Thread(target=sender, args=(w,)) for w in range(n_workers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        out = app.run("Out")
+        # conservation: every event passes the v%2=0 filter exactly once
+        assert len(out) == n_workers * per_batch * n_batches
+        # per-worker arrival order preserved; batches contiguous per send()
+        per_worker: dict[int, list[int]] = {}
+        for w, i in out:
+            per_worker.setdefault(w, []).append(i)
+        for w, seq in per_worker.items():
+            assert seq == sorted(seq), f"worker {w} interleaved within a batch"
+            assert len(seq) == per_batch * n_batches
