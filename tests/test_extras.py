@@ -493,3 +493,68 @@ class TestTimeRateProperty:
             assert len(f) == len(l) == n_buckets
 
         check()
+
+
+class TestPartitioningInvariance:
+    """Distribution-correctness: every data-pipeline operator must produce
+    IDENTICAL results regardless of input partitioning — the property that
+    makes a plan trustworthy on a 1000-executor cluster where partition
+    boundaries are arbitrary."""
+
+    def _docs(self, spark):
+        from eventflux_engine_spark.dedup import augmented_documents
+
+        return augmented_documents(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+
+    def test_minhash_lsh_pairs_partition_invariant(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        docs = self._docs(spark)
+        outs = []
+        for n in (1, 13):
+            sh = DD.doc_shingles(docs.repartition(n), distinct=False)
+            pairs = DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
+            outs.append(sorted((r.doc_a, r.doc_b) for r in pairs.collect()))
+        assert outs[0] == outs[1] and len(outs[0]) > 0
+
+    def test_dup_clusters_partition_invariant(self, spark):
+        from eventflux_engine_spark.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(i + 1, i) for i in range(1, 40)] + [(100, 101)],
+            "doc_a long, doc_b long",
+        )
+        outs = []
+        for n in (1, 7):
+            labels = dup_clusters(pairs.repartition(n))
+            outs.append(sorted((r.doc_id, r.cluster_id) for r in labels.collect()))
+        assert outs[0] == outs[1]
+
+    def test_hash_split_partition_invariant(self, spark):
+        from eventflux_engine_spark import dedup as DD
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        outs = []
+        for n in (1, 11):
+            h = DD.hash32(F.col("doc_id").cast("string"), 7) % 100
+            split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+            got = (
+                docs.repartition(n)
+                .select(split.alias("s"), "doc_id")
+                .collect()
+            )
+            outs.append(sorted((r.doc_id, r.s) for r in got))
+        assert outs[0] == outs[1]
+
+    def test_simhash_partition_invariant(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        docs = self._docs(spark)
+        outs = []
+        for n in (1, 13):
+            sh = DD.simhash(DD.doc_shingles(docs.repartition(n)))
+            outs.append(sorted((r.doc_id, r.simhash) for r in sh.collect()))
+        assert outs[0] == outs[1]
