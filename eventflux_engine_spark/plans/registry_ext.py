@@ -1323,6 +1323,66 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_latency_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="per-type exact percentile profile (p50/p95/p99): Spark's "
+    "interpolating percentile() matches DuckDB's quantile_cont bit-for-bit "
+    "under round(4). Exact percentiles group-collect values (fine for "
+    "bounded group counts); at 100 TB the swap-in is percentile_approx "
+    "(t-digest partials, map-side combine) — same query shape, weaker "
+    "rows-only oracle",
+)
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_rollup_daily",
+    """
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(day, 'ALL') AS day,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+          FROM events)
+    GROUP BY ROLLUP (event_type, day)
+    """,
+    doc="multi-level ROLLUP (type, day) in one pass — Catalyst's Expand "
+    "replicates each row once per grouping set BEFORE the single "
+    "partial+final hash agg, so all three levels cost one shuffle (the "
+    "batch analog of the AGGREGATE EVERY cascade's leaf level)",
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
     "events_sessionized_funnel",
     """
     WITH sess AS (
