@@ -48,6 +48,8 @@ HEADLINE = [
     "dml_update_additive",
     "incremental_agg_within_per",
     "tpch_q5_local_supplier_volume",
+    "dedup_cluster_resolution",
+    "curation_decontaminate",
 ]
 
 CEP_TURNS = int(os.environ.get("SPARK_GRAFT_CEP_TURNS", "2000000"))
