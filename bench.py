@@ -95,9 +95,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
-    # warm-up: JVM codegen + python worker pool + shuffle paths, untimed
+    # warm-up: JVM codegen + python worker pool + shuffle paths, untimed.
+    # The CEP warm-up runs at 1M turns: the first two FULL-SIZE passes pay a
+    # one-time memory/allocator growth cost (observed reps [10 s, 26 s,
+    # 3.8 s, 3.8 s] after a 50k-only warm-up; a 1M warm-up absorbs it and
+    # the timed reps land at steady state)
     QUERIES["tumbling_turn_counts"].fn(spark, sf_dir).count()
     cep_pipeline_rows(spark, 50_000)
+    cep_pipeline_rows(spark, 1_000_000)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1350,6 +1350,25 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_percentiles_tdigest",
+    None,
+    doc="the 100 TB percentile path: percentile_approx (GK/t-digest-style "
+    "sketch partials, map-side combine — no per-group value collection). "
+    "No SQL oracle: the sketch is algorithm-specific, so the driver records "
+    "the rows-only check; accuracy vs the exact gate is pytest-bounded "
+    "(test_extras.TestApproxPercentiles)",
+)
+def q_events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("p50"),
+        F.round(F.percentile_approx("value", 0.95, 10000), 4).alias("p95"),
+        F.round(F.percentile_approx("value", 0.99, 10000), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "events_rollup_daily",
     """
     SELECT coalesce(event_type, 'ALL') AS etype,

@@ -558,3 +558,25 @@ class TestPartitioningInvariance:
             sh = DD.simhash(DD.doc_shingles(docs.repartition(n)))
             outs.append(sorted((r.doc_id, r.simhash) for r in sh.collect()))
         assert outs[0] == outs[1]
+
+
+class TestApproxPercentiles:
+    def test_tdigest_within_tolerance_of_exact(self, spark):
+        """The percentile_approx scale path must track the exact gate:
+        at accuracy=10000 on this data the sketch answer is within 1%
+        relative error of the exact interpolated percentile."""
+        from eventflux_engine_spark.plans import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        exact = {
+            r.event_type: (r.p50, r.p95, r.p99)
+            for r in QUERIES["events_latency_percentiles"].fn(spark, sf).collect()
+        }
+        approx = {
+            r.event_type: (r.p50, r.p95, r.p99)
+            for r in QUERIES["events_percentiles_tdigest"].fn(spark, sf).collect()
+        }
+        assert exact.keys() == approx.keys()
+        for k in exact:
+            for e, a in zip(exact[k], approx[k]):
+                assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (k, e, a)
