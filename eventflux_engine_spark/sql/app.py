@@ -575,9 +575,11 @@ class EventFluxApp:
 
         Supported terminal shapes: row-level filter/projection (incl.
         stream-table enrichment joins — bound table broadcast per
-        micro-batch), windowed aggregation (tumbling/sliding/session +
-        GROUP BY), non-windowed GROUP BY (running agg, complete-mode drain),
-        single-stream patterns. INSERT INTO chains compile into ONE
+        micro-batch — and stream-STREAM INNER joins: each input gets its own
+        chunked feed and Spark's symmetric join state buffers both sides
+        across micro-batches), windowed aggregation (tumbling/sliding/
+        session + GROUP BY), non-windowed GROUP BY (running agg,
+        complete-mode drain), single-stream patterns. INSERT INTO chains compile into ONE
         streaming plan: row-level intermediate stages apply in-plan
         (junction fan-through, stream_junction.rs analog).
         ≙ the reference's actual runtime mode (runtime.start() + sources,
@@ -639,6 +641,7 @@ class EventFluxApp:
               "__ts": _EPOCH + datetime.timedelta(days=3650)}]
         )
         feed_dir = tempfile.mkdtemp(prefix="efs_sqlstream_")
+        join_feed_dirs: list[str] = []
         try:
             if len(base) == 0:
                 raise ValueError("run_streaming needs at least one sent event")
@@ -727,19 +730,51 @@ class EventFluxApp:
                      and not c.startswith(("window_", "session_", "__"))]]))
                 mode = "append"
             elif not is_agg:
-                out = stream.alias(q.source)
-                # stream-table enrichment joins: the bound table state
-                # broadcasts into every micro-batch (≙ TableJoinProcessor's
-                # per-event compiled probe, table_join_processor.rs:17-137)
-                for how, sname, cond, _trig in q.joins:
-                    if not self.streams[sname].is_table:
-                        raise ValueError(
-                            "run_streaming joins support TABLE partners only"
-                        )
-                    static = self.stream_df(sname).drop("__seq", "__ts")
-                    out = out.join(
-                        F.broadcast(static.alias(sname)), F.expr(cond), how
+                stream_partners = [
+                    j for j in q.joins if not self.streams[j[1]].is_table
+                ]
+                if stream_partners and q.output_rate is not None:
+                    raise ValueError(
+                        "streaming stream-stream joins cannot combine with "
+                        "OUTPUT rate limiting"
                     )
+                if stream_partners:
+                    # the driver sentinel must not join real partner rows
+                    # (its neutral key values could collide); no event-time
+                    # operator follows, so dropping it pre-join is safe
+                    out = stream.filter(F.col("__seq") < 10**9).alias(q.source)
+                else:
+                    out = stream.alias(q.source)
+                for how, sname, cond, _trig in q.joins:
+                    if self.streams[sname].is_table:
+                        # stream-table enrichment joins: the bound table
+                        # state broadcasts into every micro-batch (≙
+                        # TableJoinProcessor's per-event compiled probe,
+                        # table_join_processor.rs:17-137)
+                        static = self.stream_df(sname).drop("__seq", "__ts")
+                        out = out.join(
+                            F.broadcast(static.alias(sname)), F.expr(cond), how
+                        )
+                        continue
+                    # STREAM partner: second chunked file feed, real
+                    # micro-batch stream-stream join (join_processor.rs's
+                    # two live buffers ≙ Spark's symmetric join state).
+                    # INNER emits eagerly per match — no watermark needed to
+                    # flush; outer pads require an event-time bound, which
+                    # this SQL surface does not express yet
+                    if how != "inner":
+                        raise ValueError(
+                            "streaming stream-stream joins support INNER "
+                            "only (outer pads need an event-time bound)"
+                        )
+                    pstream, pdir = self._mk_stream_feed(sname, n_chunks)
+                    join_feed_dirs.append(pdir)
+                    partner = (
+                        pstream.filter(F.col("__seq") < 10**9)
+                        .drop("__seq", "__ts")
+                        .alias(sname)
+                    )
+                    out = out.join(partner, F.expr(cond), how)
                 if q.where:
                     out = out.filter(F.expr(q.where))
                 items = [f"{e} AS {a}" if a else e for e, a in q.select_items]
@@ -793,6 +828,35 @@ class EventFluxApp:
             return [tuple(r) for r in res.collect()]
         finally:
             shutil.rmtree(feed_dir, ignore_errors=True)
+            for d in join_feed_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def _mk_stream_feed(self, sname: str, n_chunks: int):
+        """Materialize a stream's sent rows as a chunked parquet feed and
+        open it as a file stream — the second input of a stream-stream
+        join (each input is its own micro-batch source, the AppRunner
+        multi-stream send() analog)."""
+        import os
+        import tempfile
+
+        base = self._base_df(sname).toPandas()
+        if len(base) == 0:
+            raise ValueError(f"stream-stream join partner {sname} has no events")
+        d = tempfile.mkdtemp(prefix=f"efs_sqljoin_{sname.lower()}_")
+        chunks = max(1, min(n_chunks, len(base)))
+        bounds = [round(i * len(base) / chunks) for i in range(chunks + 1)]
+        for i in range(chunks):
+            base.iloc[bounds[i]: bounds[i + 1]].to_parquet(
+                os.path.join(d, f"c{i:03d}.parquet"), index=False,
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+        schema = self._base_df(sname).schema
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return stream, d
 
     def _compile_pattern_stream(self, q: QueryDef, stream, watermark: str):
         from ..cep.streaming import match_pattern_stream

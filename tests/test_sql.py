@@ -1576,3 +1576,57 @@ class TestConcurrentSenders:
         for w, seq in per_worker.items():
             assert seq == sorted(seq), f"worker {w} interleaved within a batch"
             assert len(seq) == per_batch * n_batches
+
+
+class TestStreamingStreamJoin:
+    """≙ join_processor.rs two live buffers: a stream-stream INNER join
+    executed as a REAL two-input Structured Streaming job must match the
+    batch run() rows."""
+
+    def _app(self, spark):
+        return EventFluxApp(spark).execute(
+            """
+            CREATE STREAM Trades (symbol VARCHAR, price DOUBLE);
+            CREATE STREAM News (symbol VARCHAR, headline VARCHAR);
+            CREATE STREAM Out (symbol VARCHAR, price DOUBLE, headline VARCHAR);
+            INSERT INTO Out
+            SELECT Trades.symbol, Trades.price, News.headline
+            FROM Trades JOIN News ON Trades.symbol = News.symbol;
+            """
+        )
+
+    def test_streaming_matches_batch(self, spark):
+        app = self._app(spark)
+        app.send("News", [("AAPL", "up"), ("MSFT", "down"), ("AAPL", "weak")])
+        app.send("Trades", [("AAPL", 190.0), ("GOOG", 140.0), ("MSFT", 310.0)])
+        batch = sorted(app.run("Out"))
+        streamed = sorted(app.run_streaming("Out"))
+        assert streamed == batch
+        assert ("AAPL", 190.0, "up") in streamed
+        assert ("AAPL", 190.0, "weak") in streamed  # both matches emitted
+
+    def test_cross_chunk_matches_emit(self, spark):
+        # partners arriving in DIFFERENT micro-batches must still join:
+        # the symmetric join state buffers each side across triggers
+        app = self._app(spark)
+        app.send("News", [("A", "h%d" % i) for i in range(6)])
+        app.send("Trades", [("A", float(i)) for i in range(6)])
+        batch = sorted(app.run("Out"))
+        streamed = sorted(app.run_streaming("Out", n_chunks=3))
+        assert streamed == batch and len(streamed) == 36
+
+    def test_outer_stream_join_rejected(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM L (id INT);
+            CREATE STREAM R (id INT);
+            CREATE STREAM Out (id INT);
+            INSERT INTO Out SELECT L.id FROM L LEFT JOIN R ON L.id = R.id;
+            """
+        )
+        app.send("L", [(1,)])
+        app.send("R", [(1,)])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="INNER only"):
+            app.run_streaming("Out")
