@@ -579,7 +579,10 @@ class EventFluxApp:
         chunked feed and Spark's symmetric join state buffers both sides
         across micro-batches), windowed aggregation (tumbling/sliding/
         session + GROUP BY), non-windowed GROUP BY (running agg,
-        complete-mode drain), single-stream patterns. INSERT INTO chains compile into ONE
+        complete-mode drain), and patterns — including MULTI-stream
+        patterns (step streams union into one watermarked feed tagged
+        __src; every secondary feed carries its own far-future sentinel
+        because a union's watermark is the min across inputs). INSERT INTO chains compile into ONE
         streaming plan: row-level intermediate stages apply in-plan
         (junction fan-through, stream_junction.rs analog).
         ≙ the reference's actual runtime mode (runtime.start() + sources,
@@ -624,8 +627,6 @@ class EventFluxApp:
             prelude.insert(0, u)
             head = u.source
         source = head
-        if q.pattern and len({s.stream for s in q.pattern.steps}) > 1:
-            raise ValueError("run_streaming patterns must use a single stream")
 
         sd = self.streams[source]
         base = self._base_df(source).toPandas()
@@ -693,8 +694,39 @@ class EventFluxApp:
                     "FIRST/LAST/ALL EVERY n EVENTS / d TIME queries"
                 )
             if q.pattern is not None:
-                out = self._compile_pattern_stream(q, stream, watermark)
-                mode = "update" if False else "append"
+                # multi-stream patterns: union every step stream into one
+                # unified-schema feed tagged with __src (the batch path's
+                # construction, streaming twin) — each secondary feed gets
+                # its OWN far-future sentinel because the union's watermark
+                # is the MIN across inputs
+                p_streams = list(dict.fromkeys(s.stream for s in q.pattern.steps))
+                all_cols: dict[str, str] = {}
+                for s in p_streams:
+                    for c, t in self.streams[s].columns:
+                        if c in all_cols and all_cols[c] != t:
+                            raise ValueError(
+                                f"column {c} type conflict across pattern streams"
+                            )
+                        all_cols[c] = t
+
+                def _unify(df, s):
+                    have = {x for x, _ in self.streams[s].columns}
+                    proj = [F.lit(s).alias("__src")]
+                    for c, t in all_cols.items():
+                        proj.append(
+                            (F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+                        )
+                    return df.select(*proj, "__seq", "__ts")
+
+                ustream = _unify(stream, source)
+                for k, s in enumerate(x for x in p_streams if x != source):
+                    ps, pdir = self._mk_stream_feed(
+                        s, n_chunks, sentinel_seq=10**9 + 1 + k
+                    )
+                    join_feed_dirs.append(pdir)
+                    ustream = ustream.unionByName(_unify(ps, s))
+                out = self._compile_pattern_stream(q, ustream, watermark)
+                mode = "append"
             elif q.window is not None and is_agg:
                 from ..streaming import pipelines as P
 
@@ -831,17 +863,36 @@ class EventFluxApp:
             for d in join_feed_dirs:
                 shutil.rmtree(d, ignore_errors=True)
 
-    def _mk_stream_feed(self, sname: str, n_chunks: int):
+    def _mk_stream_feed(self, sname: str, n_chunks: int, sentinel_seq=None):
         """Materialize a stream's sent rows as a chunked parquet feed and
-        open it as a file stream — the second input of a stream-stream
-        join (each input is its own micro-batch source, the AppRunner
-        multi-stream send() analog)."""
+        open it as a file stream — a secondary input of a stream-stream
+        join or multi-stream pattern (each input is its own micro-batch
+        source, the AppRunner multi-stream send() analog).
+
+        ``sentinel_seq``: when set, a far-future sentinel row is appended
+        (with that __seq) — required whenever the feed joins an event-time
+        operator, because a union's/join's watermark is the MIN across
+        inputs and a sentinel-less input would hold it back forever."""
         import os
         import tempfile
 
         base = self._base_df(sname).toPandas()
-        if len(base) == 0:
-            raise ValueError(f"stream-stream join partner {sname} has no events")
+        if len(base) == 0 and sentinel_seq is None:
+            # joins need real rows; pattern feeds may be legitimately empty
+            # (a step stream that never fired) — the sentinel alone then
+            # keeps the union's watermark moving
+            raise ValueError(f"stream feed {sname} has no events")
+        if sentinel_seq is not None:
+            defaults = {"string": None, "int": 0, "bigint": 0, "float": 0.0,
+                        "double": 0.0, "boolean": False, "timestamp": _EPOCH}
+            vals = {c: defaults.get(t) for c, t in self.streams[sname].columns}
+            sent = pd.DataFrame(
+                [{**vals, "__seq": sentinel_seq,
+                  "__ts": _EPOCH + datetime.timedelta(days=3650)}]
+            )
+            base = pd.concat([base, sent], ignore_index=True).astype(
+                base.dtypes.to_dict()
+            )
         d = tempfile.mkdtemp(prefix=f"efs_sqljoin_{sname.lower()}_")
         chunks = max(1, min(n_chunks, len(base)))
         bounds = [round(i * len(base) / chunks) for i in range(chunks + 1)]
@@ -872,6 +923,8 @@ class EventFluxApp:
         for sdef in p.steps:
             flag = f"__is_{sdef.alias}"
             cond = F.lit(True) if not sdef.condition else F.expr(sdef.condition)
+            if "__src" in df.columns:
+                cond = cond & (F.col("__src") == sdef.stream)
             df = df.withColumn(flag, cond & F.col("__seq").isNotNull() & (F.col("__seq") < 10**9))
             steps.append(
                 Step(

@@ -1630,3 +1630,38 @@ class TestStreamingStreamJoin:
 
         with _pytest.raises(ValueError, match="INNER only"):
             app.run_streaming("Out")
+
+
+class TestStreamingMultiStreamPattern:
+    """Multi-stream PATTERN as a REAL streaming job: step streams union into
+    one watermarked feed tagged __src (each secondary feed carries its own
+    far-future sentinel so the union's min-watermark advances)."""
+
+    def _app(self, spark):
+        return EventFluxApp(spark).execute(
+            """
+            CREATE STREAM A (val INT);
+            CREATE STREAM B (val INT);
+            CREATE STREAM Out (aval INT, bval INT);
+            INSERT INTO Out
+            SELECT A.val AS aval, B.val AS bval
+            FROM PATTERN (EVERY (e1=A -> e2=B));
+            """
+        )
+
+    def test_two_stream_pattern_streaming_matches_batch(self, spark):
+        app = self._app(spark)
+        app.send("A", [(10,)])
+        app.send("B", [(20,)])
+        app.send("A", [(30,)])
+        app.send("B", [(40,)])
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out")
+        assert streamed == batch
+        assert (10, 20) in streamed and (30, 40) in streamed
+
+    def test_wrong_stream_does_not_complete_step(self, spark):
+        app = self._app(spark)
+        app.send("A", [(1,)])
+        app.send("A", [(2,)])  # a second A must NOT satisfy the B step
+        assert app.run_streaming("Out") == app.run("Out") == []
