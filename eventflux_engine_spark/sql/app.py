@@ -920,22 +920,48 @@ class EventFluxApp:
             q.select_items, p.steps
         )
         steps = []
+        data_cols = {c for c in df.columns if not c.startswith("__")} - {
+            "conv_id", "turn_idx", "ts"
+        }
         for sdef in p.steps:
             flag = f"__is_{sdef.alias}"
-            cond = F.lit(True) if not sdef.condition else F.expr(sdef.condition)
+            cond = F.lit(True)
+            cross = None
+            if sdef.condition:
+                if _EREF_RE.search(sdef.condition):
+                    # cross-step refs (e2[x > e1.x]) compile to a closure
+                    # evaluated inside the (shared batch/streaming) NFA
+                    # replay core — same contract as the batch path
+                    cross = _compile_cross_pred(sdef.condition)
+                    for em in _EREF_RE.finditer(sdef.condition):
+                        if em.group(1) != sdef.alias:
+                            referenced[em.group(1)].add(em.group(2))
+                    for bare in re.finditer(
+                        r"\b(?<!\.)(\w+)\b", _EREF_RE.sub(" ", sdef.condition)
+                    ):
+                        if bare.group(1) in data_cols:
+                            referenced[sdef.alias].add(bare.group(1))
+                else:
+                    cond = F.expr(sdef.condition)
             if "__src" in df.columns:
                 cond = cond & (F.col("__src") == sdef.stream)
             df = df.withColumn(flag, cond & F.col("__seq").isNotNull() & (F.col("__seq") < 10**9))
-            steps.append(
-                Step(
-                    sdef.alias, flag, sdef.min_count, sdef.max_count,
-                    emit=tuple(sorted(referenced[sdef.alias])),
-                    agg_emit=tuple(sorted(agg_emits[sdef.alias])),
-                    index_emit=tuple(
-                        sorted(index_emits[sdef.alias], key=lambda t: (str(t[0]), t[1]))
-                    ),
-                )
+            steps.append((sdef, flag, cross))
+        # Steps are constructed AFTER the condition scan: a later step's
+        # cross-ref (e2[x > e1.x]) extends e1's emit set, so building e1's
+        # Step eagerly would drop the referenced column
+        steps = [
+            Step(
+                sdef.alias, flag, sdef.min_count, sdef.max_count,
+                cross_pred=cross,
+                emit=tuple(sorted(referenced[sdef.alias])),
+                agg_emit=tuple(sorted(agg_emits[sdef.alias])),
+                index_emit=tuple(
+                    sorted(index_emits[sdef.alias], key=lambda t: (str(t[0]), t[1]))
+                ),
             )
+            for sdef, flag, cross in steps
+        ]
         spec = PatternSpec(
             steps=tuple(steps),
             within=pd.Timedelta(milliseconds=p.within_ms) if p.within_ms else None,

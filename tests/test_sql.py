@@ -1665,3 +1665,24 @@ class TestStreamingMultiStreamPattern:
         app.send("A", [(1,)])
         app.send("A", [(2,)])  # a second A must NOT satisfy the B step
         assert app.run_streaming("Out") == app.run("Out") == []
+
+
+class TestStreamingCrossStepRefs:
+    def test_cross_step_predicate_streaming_matches_batch(self, spark):
+        """e2[price > e1.price] must evaluate inside the STREAMING NFA replay
+        (≙ pattern_filter_cross_stream_test.rs): the closure travels with
+        the Step into applyInPandasWithState."""
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM T (price DOUBLE);
+            CREATE STREAM Out (p1 DOUBLE, p2 DOUBLE);
+            INSERT INTO Out
+            SELECT e1.price AS p1, e2.price AS p2
+            FROM PATTERN (EVERY (e1=T -> e2=T[price > e1.price]));
+            """
+        )
+        app.send("T", [(10.0,), (8.0,), (12.0,), (11.0,)])
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out")
+        assert streamed == batch
+        assert (10.0, 12.0) in streamed and (8.0, 12.0) in streamed
