@@ -1686,3 +1686,26 @@ class TestStreamingCrossStepRefs:
         streamed = app.run_streaming("Out")
         assert streamed == batch
         assert (10.0, 12.0) in streamed and (8.0, 12.0) in streamed
+
+    def test_cross_stream_cross_ref_streaming(self, spark):
+        """Cross-STREAM + cross-step ref combined (the
+        pattern_filter_cross_stream_test.rs shape): step streams differ AND
+        the second step's predicate references the first step's value."""
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM Bids (amount DOUBLE);
+            CREATE STREAM Asks (amount DOUBLE);
+            CREATE STREAM Out (bid DOUBLE, ask DOUBLE);
+            INSERT INTO Out
+            SELECT e1.amount AS bid, e2.amount AS ask
+            FROM PATTERN (EVERY (e1=Bids -> e2=Asks[amount > e1.amount]));
+            """
+        )
+        app.send("Bids", [(100.0,)])
+        app.send("Asks", [(90.0,)])   # too low — must not match
+        app.send("Bids", [(95.0,)])
+        app.send("Asks", [(105.0,)])  # matches both pending bids' instances
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out")
+        assert streamed == batch
+        assert (100.0, 105.0) in streamed
