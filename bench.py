@@ -160,7 +160,10 @@ def main() -> None:
         )
         fused_transcript_pipeline(tbr, spec, input_sorted=True).groupBy().count().collect()
 
-    fused_s = best_of("cep_fused_bucketed", 3, run_fused)
+    # 4 reps for the headline metric: this host's background load comes in
+    # multi-second bursts, and min-of-N needs one quiet rep — the observed
+    # spread on identical code is up to ~1.7x (see cep_rep_times)
+    fused_s = best_of("cep_fused_bucketed", 4, run_fused)
     timings["cep_fused_bucketed"] = round(fused_s, 3)
 
     # skew variant: 30% of turns in ONE conversation; the shuffled-NFA path
