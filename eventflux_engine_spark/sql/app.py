@@ -913,7 +913,22 @@ class EventFluxApp:
         from ..cep.streaming import match_pattern_stream
 
         p = q.pattern
-        df = stream.withColumn("conv_id", F.lit("__global__")).withColumn(
+        # PARTITION WITH (key OF Stream) → per-key NFA instances: the key
+        # column becomes the applyInPandasWithState grouping key, so every
+        # partition gets its own pattern state (the batch path's key_expr
+        # construction; watermark stays GLOBAL — sentinels still flush every
+        # key's pending state)
+        if q.partition_keys:
+            key_cols = set(q.partition_keys.values())
+            if len(key_cols) != 1:
+                raise ValueError(
+                    "pattern PARTITION keys must share one column name, got "
+                    f"{sorted(key_cols)}"
+                )
+            key_expr = F.col(next(iter(key_cols))).cast("string")
+        else:
+            key_expr = F.lit("__global__")
+        df = stream.withColumn("conv_id", key_expr).withColumn(
             "turn_idx", F.col("__seq").cast("int")
         ).withColumn("ts", F.col("__ts"))
         select_plan, referenced, agg_emits, index_emits = _pattern_select_plan(

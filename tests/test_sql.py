@@ -1709,3 +1709,29 @@ class TestStreamingCrossStepRefs:
         streamed = app.run_streaming("Out")
         assert streamed == batch
         assert (100.0, 105.0) in streamed
+
+
+class TestStreamingPartitionedPattern:
+    def test_partitioned_pattern_streaming_matches_batch(self, spark):
+        """PARTITION WITH gives per-key NFA instances in the STREAMING
+        executor too: one symbol's low price must not complete another
+        symbol's armed pattern."""
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM T (symbol VARCHAR, price INT);
+            CREATE STREAM Out (p1 INT, p2 INT);
+            PARTITION WITH (symbol OF T)
+            BEGIN
+                INSERT INTO Out
+                SELECT e1.price AS p1, e2.price AS p2
+                FROM PATTERN (EVERY (e1=T[price > 100] -> e2=T[price < 50]));
+            END;
+            """
+        )
+        app.send("T", [("a", 150)])
+        app.send("T", [("b", 40)])
+        app.send("T", [("a", 30)])
+        app.send("T", [("b", 200)])
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out")
+        assert streamed == batch == [(150, 30)]
