@@ -755,6 +755,49 @@ class EventFluxApp:
                         stream, f"{w.params[0]} milliseconds", keys, aggs,
                         ts_col="__ts", watermark=watermark,
                     )
+                elif w.kind == "length":
+                    # per-arrival sliding count window as a stateful op; the
+                    # drain keeps only the final emission to honor run()'s
+                    # final-state contract (last N events' aggregate)
+                    agg_items = [
+                        (e, a) for e, a in q.select_items if _is_agg_expr(e)
+                    ]
+                    am = re.match(
+                        r"\s*(SUM|AVG|MIN|MAX|COUNT)\s*\(\s*(\w+)\s*\)\s*$",
+                        agg_items[0][0],
+                        re.IGNORECASE,
+                    ) if len(agg_items) == 1 and not keys else None
+                    if am is None:
+                        raise ValueError(
+                            "streaming WINDOW('length') supports a single "
+                            "un-keyed SUM/AVG/MIN/MAX/COUNT aggregate"
+                        )
+                    src_f = (
+                        stream.filter(F.expr(q.where)) if q.where else stream
+                    ).filter(F.col("__seq") < 10**9)
+                    out_name = agg_items[0][1] or "agg"
+                    out = P.length_window_stream(
+                        src_f, int(w.params[0]), am.group(1).lower(),
+                        am.group(2), out_name,
+                    )
+                    # cast the double emission to the declared target type
+                    decl = dict(self.streams[target].columns)
+                    if out_name in decl:
+                        out = out.withColumn(
+                            out_name, F.col(out_name).cast(decl[out_name])
+                        )
+                    qh = (
+                        out.writeStream.format("memory").queryName(
+                            f"__sqlstream_{target.lower()}"
+                        ).outputMode("append").start()
+                    )
+                    qh.processAllAvailable()
+                    qh.stop()
+                    res = self.spark.sql(
+                        f"SELECT * FROM __sqlstream_{target.lower()}"
+                    ).orderBy("__seq").drop("__seq")
+                    rows = [tuple(r) for r in res.collect()]
+                    return rows[-1:]
                 else:
                     raise ValueError(f"streaming WINDOW('{w.kind}') unsupported")
                 out = out.select(*(keys + [a for a in

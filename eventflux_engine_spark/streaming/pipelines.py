@@ -174,3 +174,57 @@ def exact_dedup_stream(
         "fp", F.md5(normalize_ascii(F.col(text_col)))
     )
     return d.withWatermark(ts_col, watermark).dropDuplicates(["fp"])
+
+
+def length_window_stream(
+    df: DataFrame,
+    n: int,
+    fn: str,
+    value_col: str,
+    out_col: str,
+    order_col: str = "__seq",
+) -> DataFrame:
+    """Per-arrival sliding length(N) aggregate as a stateful streaming
+    operator — the streaming twin of ``operators.windows.length_window_agg``
+    (reference ``length(N)``, window/mod.rs:63-193: every arrival emits the
+    aggregate over the live N-event buffer; Current adds, Expired retracts).
+
+    One global buffer (the reference's default unkeyed window): state is the
+    last N values, carried across micro-batches in the state store. Emits
+    (order_col, out_col) per event; append mode, no watermark needed —
+    emission is arrival-driven, not time-driven."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    agg_fns = {
+        "sum": lambda v: float(sum(v)),
+        "avg": lambda v: float(sum(v) / len(v)),
+        "min": lambda v: float(min(v)),
+        "max": lambda v: float(max(v)),
+        "count": lambda v: float(len(v)),
+    }
+    if fn not in agg_fns:
+        raise ValueError(f"length window agg {fn!r} unsupported")
+    agg = agg_fns[fn]
+
+    out_schema = f"{order_col} bigint, {out_col} double"
+    state_schema = "vals array<double>"
+
+    def proc(key, pdfs, state):
+        vals = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs)).sort_values(order_col)
+        out = []
+        for _, r in rows.iterrows():
+            vals.append(float(r[value_col]))
+            vals = vals[-n:]
+            out.append((int(r[order_col]), agg(vals)))
+        state.update((vals,))
+        yield pd.DataFrame(out, columns=[order_col, out_col])
+
+    return (
+        df.select(F.lit("__g").alias("__k"), order_col, value_col)
+        .groupBy("__k")
+        .applyInPandasWithState(
+            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1735,3 +1735,31 @@ class TestStreamingPartitionedPattern:
         batch = app.run("Out")
         streamed = app.run_streaming("Out")
         assert streamed == batch == [(150, 30)]
+
+
+class TestStreamingLengthWindow:
+    def test_length_window_streaming_matches_batch_final_state(self, spark):
+        """WINDOW('length', 3) as a stateful streaming op: every arrival
+        updates the live N-event buffer across micro-batch boundaries; the
+        drained final emission equals run()'s final-state row."""
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (total BIGINT);
+            INSERT INTO Out SELECT SUM(v) AS total FROM S WINDOW('length', 3);
+            """
+        )
+        app.send("S", [(1,), (2,), (3,), (4,)])
+        assert app.run_streaming("Out") == app.run("Out") == [(9,)]
+
+    def test_length_window_avg_across_chunks(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (m DOUBLE);
+            INSERT INTO Out SELECT AVG(v) AS m FROM S WINDOW('length', 2);
+            """
+        )
+        app.send("S", [(10,), (20,), (30,), (40,), (50,)])
+        # chunked feed: the buffer must survive micro-batch boundaries
+        assert app.run_streaming("Out", n_chunks=3) == app.run("Out") == [(45.0,)]
