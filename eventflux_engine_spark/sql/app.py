@@ -755,6 +755,40 @@ class EventFluxApp:
                         stream, f"{w.params[0]} milliseconds", keys, aggs,
                         ts_col="__ts", watermark=watermark,
                     )
+                elif w.kind == "lengthBatch":
+                    # tumbling count window as a stateful op: emit + reset
+                    # every N events; the feed's far-future sentinel row
+                    # flushes the partial tail batch (no timer needed)
+                    agg_items = [
+                        (e, a) for e, a in q.select_items if _is_agg_expr(e)
+                    ]
+                    am = re.match(
+                        r"\s*(SUM|AVG|MIN|MAX|COUNT)\s*\(\s*(\w+)\s*\)\s*$",
+                        agg_items[0][0],
+                        re.IGNORECASE,
+                    ) if len(agg_items) == 1 and not keys else None
+                    if am is None:
+                        raise ValueError(
+                            "streaming WINDOW('lengthBatch') supports a "
+                            "single un-keyed SUM/AVG/MIN/MAX/COUNT aggregate"
+                        )
+                    src_f = (
+                        stream.filter(
+                            F.expr(q.where) | (F.col("__seq") >= 10**9)
+                        ) if q.where else stream
+                    )
+                    out_name = agg_items[0][1] or "agg"
+                    out = P.length_batch_stream(
+                        src_f, int(w.params[0]), am.group(1).lower(),
+                        am.group(2), out_name,
+                    )
+                    decl = dict(self.streams[target].columns)
+                    if out_name in decl:
+                        out = out.withColumn(
+                            out_name, F.col(out_name).cast(decl[out_name])
+                        )
+                    out = out.withColumnRenamed("batch_id", "__seq")
+                    mode = "append"
                 elif w.kind == "length":
                     # per-arrival sliding count window as a stateful op; the
                     # drain keeps only the final emission to honor run()'s
@@ -800,9 +834,12 @@ class EventFluxApp:
                     return rows[-1:]
                 else:
                     raise ValueError(f"streaming WINDOW('{w.kind}') unsupported")
-                out = out.select(*(keys + [a for a in
-                    [c for c in out.columns if c not in keys
-                     and not c.startswith(("window_", "session_", "__"))]]))
+                if w.kind != "lengthBatch":
+                    # time windows: strip window bounds; count windows keep
+                    # their __seq (= batch id) for the ordered drain
+                    out = out.select(*(keys + [a for a in
+                        [c for c in out.columns if c not in keys
+                         and not c.startswith(("window_", "session_", "__"))]]))
                 mode = "append"
             elif not is_agg:
                 stream_partners = [
@@ -1132,6 +1169,20 @@ class EventFluxApp:
                     else f" WHERE {bucket_ok}"
                 )
                 win = "__cron_bucket"
+            elif w.kind == "lengthBatch":
+                # tumbling count window (window/mod.rs:645-963): consecutive
+                # batches of N per arrival order (partial tail included),
+                # aggregated per batch — row_number bucketing, one window
+                # pass + hash agg
+                n = w.params[0]
+                part = f"PARTITION BY {pkey} " if pkey else ""
+                src = (
+                    f"(SELECT *, cast(floor((row_number() OVER ({part}ORDER BY"
+                    f" __seq) - 1) / {n}) AS INT) AS __batch"
+                    f" FROM {q.source}{where})"
+                )
+                where = ""
+                win = "__batch"
             elif w.kind == "length" and not is_agg:
                 # passthrough length window → Current+Expired changelog
                 # (app_runner_windows.rs:25-45 contract)

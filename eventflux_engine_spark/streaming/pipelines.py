@@ -228,3 +228,63 @@ def length_window_stream(
             proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def length_batch_stream(
+    df: DataFrame,
+    n: int,
+    fn: str,
+    value_col: str,
+    out_col: str,
+    order_col: str = "__seq",
+    flush_seq: int = 10**9,
+) -> DataFrame:
+    """Tumbling count window as a stateful streaming operator — the
+    streaming twin of ``operators.windows.length_batch_agg`` (reference
+    ``lengthBatch(N)``, window/mod.rs:645-963: emit + reset every N
+    events). The buffer survives micro-batch boundaries in the state
+    store; a row with ``order_col >= flush_seq`` (the feed's far-future
+    sentinel) flushes the partial tail batch — no timer needed."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    agg_fns = {
+        "sum": lambda v: float(sum(v)),
+        "avg": lambda v: float(sum(v) / len(v)),
+        "min": lambda v: float(min(v)),
+        "max": lambda v: float(max(v)),
+        "count": lambda v: float(len(v)),
+    }
+    if fn not in agg_fns:
+        raise ValueError(f"lengthBatch agg {fn!r} unsupported")
+    agg = agg_fns[fn]
+
+    out_schema = f"batch_id bigint, {out_col} double"
+    state_schema = "vals array<double>, batch_id bigint"
+
+    def proc(key, pdfs, state):
+        vals, bid = (list(state.get[0]), int(state.get[1])) if state.exists else ([], 0)
+        rows = pd.concat(list(pdfs)).sort_values(order_col)
+        out = []
+        for _, r in rows.iterrows():
+            if int(r[order_col]) >= flush_seq:
+                if vals:
+                    out.append((bid, agg(vals)))
+                    bid += 1
+                    vals = []
+                continue
+            vals.append(float(r[value_col]))
+            if len(vals) == n:
+                out.append((bid, agg(vals)))
+                bid += 1
+                vals = []
+        state.update((vals, bid))
+        yield pd.DataFrame(out, columns=["batch_id", out_col])
+
+    return (
+        df.select(F.lit("__g").alias("__k"), order_col, value_col)
+        .groupBy("__k")
+        .applyInPandasWithState(
+            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

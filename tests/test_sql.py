@@ -1763,3 +1763,34 @@ class TestStreamingLengthWindow:
         app.send("S", [(10,), (20,), (30,), (40,), (50,)])
         # chunked feed: the buffer must survive micro-batch boundaries
         assert app.run_streaming("Out", n_chunks=3) == app.run("Out") == [(45.0,)]
+
+
+class TestLengthBatchWindowSQL:
+    def test_length_batch_batch_and_streaming(self, spark):
+        """WINDOW('lengthBatch', 3): emit + reset every 3 events, partial
+        tail included (window/mod.rs:645-963) — batch via row_number
+        bucketing, streaming via a stateful buffer whose tail flushes on
+        the sentinel."""
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (total BIGINT);
+            INSERT INTO Out SELECT SUM(v) AS total FROM S WINDOW('lengthBatch', 3);
+            """
+        )
+        app.send("S", [(1,), (2,), (3,), (4,), (5,)])
+        batch = sorted(app.run("Out"))
+        assert batch == [(6,), (9,)]  # 1+2+3, then tail 4+5
+        streamed = sorted(app.run_streaming("Out", n_chunks=2))
+        assert streamed == batch
+
+    def test_length_batch_exact_multiple(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (m DOUBLE);
+            INSERT INTO Out SELECT AVG(v) AS m FROM S WINDOW('lengthBatch', 2);
+            """
+        )
+        app.send("S", [(2,), (4,), (6,), (8,)])
+        assert sorted(app.run("Out")) == sorted(app.run_streaming("Out")) == [(3.0,), (7.0,)]
