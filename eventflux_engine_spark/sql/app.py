@@ -1183,6 +1183,27 @@ class EventFluxApp:
                 )
                 where = ""
                 win = "__batch"
+            elif w.kind == "sort":
+                # sort(N, 'attr [asc|desc]') — keep the N best events under
+                # the comparator, evict the worst
+                # (sort_window_processor.rs:25); final retained set == batch
+                # top-K via row_number, __seq tiebreak keeps it deterministic
+                n = w.params[0]
+                attr_spec = str(w.params[1]).split()
+                attr = attr_spec[0]
+                direction = (
+                    "DESC"
+                    if len(attr_spec) > 1 and attr_spec[1].lower() == "desc"
+                    else "ASC"
+                )
+                part = f"PARTITION BY {pkey} " if pkey else ""
+                src = (
+                    f"(SELECT * FROM (SELECT *, row_number() OVER ({part}"
+                    f"ORDER BY {attr} {direction}, __seq) AS __rk"
+                    f" FROM {q.source}{where}) WHERE __rk <= {n})"
+                )
+                where = ""
+                win = None
             elif w.kind == "length" and not is_agg:
                 # passthrough length window → Current+Expired changelog
                 # (app_runner_windows.rs:25-45 contract)

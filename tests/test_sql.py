@@ -1794,3 +1794,31 @@ class TestLengthBatchWindowSQL:
         )
         app.send("S", [(2,), (4,), (6,), (8,)])
         assert sorted(app.run("Out")) == sorted(app.run_streaming("Out")) == [(3.0,), (7.0,)]
+
+
+class TestSortWindowSQL:
+    def test_sort_window_retention_and_agg(self, spark):
+        """WINDOW('sort', 2, 'price') keeps the 2 smallest prices
+        (sort_window_processor.rs:25 comparator retention); aggregates see
+        only the retained set."""
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, price INT);
+            CREATE STREAM Out (sym VARCHAR, price INT);
+            INSERT INTO Out SELECT sym, price FROM S WINDOW('sort', 2, 'price');
+            """
+        )
+        app.send("S", [("a", 30), ("b", 10), ("c", 50), ("d", 20)])
+        assert sorted(app.run("Out")) == [("b", 10), ("d", 20)]
+
+    def test_sort_window_desc_agg(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (price INT);
+            CREATE STREAM Out (total BIGINT);
+            INSERT INTO Out
+            SELECT SUM(price) AS total FROM S WINDOW('sort', 3, 'price desc');
+            """
+        )
+        app.send("S", [(5,), (40,), (15,), (30,), (20,)])
+        assert app.run("Out") == [(90,)]  # 40+30+20
