@@ -580,3 +580,31 @@ class TestApproxPercentiles:
         for k in exact:
             for e, a in zip(exact[k], approx[k]):
                 assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (k, e, a)
+
+
+class TestBandingPlanShape:
+    """Durability guard for the single-pass LSH banding re-plan (r3): a
+    union-of-per-band-selects regression would replicate the upstream
+    shingle+hash+aggregate subtree once per band per join side (observed
+    8x) — the executed plan must keep ONE signature aggregate per join
+    side."""
+
+    def test_minhash_lsh_single_signature_subtree_per_side(self, spark):
+        from eventflux_engine_spark.plans import QUERIES
+
+        df = QUERIES["dedup_minhash_lsh"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one shingle explode + one band explode per self-join side
+        assert plan.count("Generate explode") <= 4
+        # the doc_id signature exchange appears once per side, not per band
+        assert plan.count("Exchange hashpartitioning(doc_id") <= 2
+
+    def test_simhash_single_bitsum_subtree_per_side(self, spark):
+        from eventflux_engine_spark.plans import QUERIES
+
+        df = QUERIES["dedup_simhash"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate explode") <= 4
+        # per side: the shingle-distinct exchange + the bitsum aggregate
+        # exchange = 2, so 4 total; a per-chunk union regression reads 8+
+        assert plan.count("Exchange hashpartitioning(doc_id") <= 4
