@@ -547,6 +547,19 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # hash-min needs O(component diameter) rounds; exhausting max_iters
+        # with the sum still decreasing means some component is only
+        # partially propagated — labels would silently diverge from the
+        # exact transitive closure
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            "(a component's diameter exceeds max_iters); returned labels "
+            "are partially propagated - raise max_iters",
+            RuntimeWarning, stacklevel=2,
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

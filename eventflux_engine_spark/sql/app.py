@@ -23,6 +23,7 @@ from __future__ import annotations
 import datetime
 import re
 import threading
+import warnings
 from typing import Any
 
 import pandas as pd
@@ -254,10 +255,33 @@ class EventFluxApp:
             return self._table_final[name]
         plan = self._compiled_table_plan(name, _stack)
         if plan is not None:
-            state = [r.asDict() for r in plan.orderBy("__seq").collect()]
-            self._table_final[name] = state
-            return state
+            try:
+                state = [r.asDict() for r in plan.orderBy("__seq").collect()]
+            except Exception as exc:  # analysis failure in a rewritten expr
+                # (e.g. an expression shape mask_literals/rewrite mangled):
+                # the event-at-a-time replay is the parity oracle — fall
+                # back to it rather than erroring the whole app
+                warnings.warn(
+                    f"compiled DML plan for table {name!r} failed analysis "
+                    f"({exc.__class__.__name__}); falling back to "
+                    f"event-at-a-time replay (O(events) driver loop)",
+                    RuntimeWarning, stacklevel=2,
+                )
+                plan = None
+            if plan is not None:
+                self._table_final[name] = state
+                return state
         sd = self.streams[name]
+        if any(d.table == name for d in self.dml) and not self._force_dml_replay:
+            # reachable only when compiled_table_plan declined (a statement
+            # outside the commuting classes): surface the O(events x rows)
+            # path so users don't ship it unknowingly at scale
+            warnings.warn(
+                f"DML on table {name!r} falls outside the commuting classes "
+                "(sql/dml_compile.py) - using the event-at-a-time driver "
+                "replay, which does not scale past test-sized inputs",
+                RuntimeWarning, stacklevel=2,
+            )
         cols = [c for c, _ in sd.columns]
         events: list[tuple[int, str, object, object]] = []  # (seq, kind, dml, payload)
         if sd.options.get("backend") == "jdbc":
@@ -958,10 +982,12 @@ class EventFluxApp:
 
         base = self._base_df(sname).toPandas()
         if len(base) == 0 and sentinel_seq is None:
-            # joins need real rows; pattern feeds may be legitimately empty
-            # (a step stream that never fired) — the sentinel alone then
-            # keeps the union's watermark moving
-            raise ValueError(f"stream feed {sname} has no events")
+            # an empty JOIN partner must behave like the batch path (INNER
+            # join over no partner rows = empty result, join_processor.rs
+            # buffers nothing) — feed a sentinel-only stream; the caller
+            # filters __seq >= 10**9 before joining, so the partner side is
+            # empty and the join correctly yields zero rows
+            sentinel_seq = 2 * 10**9
         if sentinel_seq is not None:
             defaults = {"string": None, "int": 0, "bigint": 0, "float": 0.0,
                         "double": 0.0, "boolean": False, "timestamp": _EPOCH}

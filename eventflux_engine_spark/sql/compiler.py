@@ -376,6 +376,12 @@ def parse_create(stmt: str) -> StreamDef:
             if km:
                 sd.options[km.group(1)] = km.group(2)
     sd.is_table = kind.upper() == "TABLE"
+    if sd.options.get("backend") == "cache" and "max_size" not in sd.options:
+        # cache_table.rs:238 rejects a missing max_size explicitly; a silent
+        # default of 0 would yield a permanently empty table
+        raise ValueError(
+            f"table {name}: backend 'cache' requires the max_size property"
+        )
     return sd
 
 

@@ -39,6 +39,15 @@ _BARE_RE = re.compile(r"(?<![.\w])(?!__[ts]\b)([a-zA-Z_]\w*)\b(?!\s*\()(?!\s*\.)
 _SQL_WORDS = {
     "AND", "OR", "NOT", "TRUE", "FALSE", "NULL", "IS", "IN", "LIKE",
     "BETWEEN", "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT",
+    # keyword operands that _BARE_RE would otherwise qualify into __s.X
+    # (they never take a call-paren, so the (?!\s*\() guard misses them):
+    # CAST targets, sort direction, INTERVAL units
+    "AS", "ASC", "DESC", "INTERVAL", "ESCAPE",
+    "INT", "INTEGER", "BIGINT", "LONG", "SMALLINT", "TINYINT",
+    "FLOAT", "REAL", "DOUBLE", "DECIMAL", "STRING", "VARCHAR", "CHAR",
+    "BOOLEAN", "DATE", "TIMESTAMP", "BINARY",
+    "YEAR", "YEARS", "MONTH", "MONTHS", "DAY", "DAYS", "HOUR", "HOURS",
+    "MINUTE", "MINUTES", "SECOND", "SECONDS", "MILLISECOND", "MILLISECONDS",
 }
 
 
@@ -83,10 +92,13 @@ def rewrite(expr: str, d, table_cols: list[str], prefer_event: bool = False) -> 
 
     def sub_b(m: re.Match) -> str:
         w = m.group(1)
-        if w.upper() in _SQL_WORDS:
-            return w
+        # a real column wins over a keyword homonym (a table column named
+        # `day` must still resolve); only non-columns fall through to the
+        # keyword pass-through
         if not prefer_event and w in table_cols:
             return f"__t.{w}"
+        if w.upper() in _SQL_WORDS:
+            return w
         return f"__s.{w}"
 
     s = _BARE_RE.sub(sub_b, s)

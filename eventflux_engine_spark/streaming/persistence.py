@@ -66,7 +66,13 @@ class RevisionStore:
         id. Call with the streaming query STOPPED (the reference persists on
         a barrier through its snapshot service too — no torn state)."""
         revs = self.revisions()
-        rev = f"rev-{len(revs):05d}"
+        # next id = max existing + 1, NOT the count: deleting an
+        # intermediate revision must never make a later persist collide
+        # with a surviving directory (os.rename would fail)
+        nxt = 1 + max(
+            (int(r.split("-")[1]) for r in revs), default=-1
+        )
+        rev = f"rev-{nxt:05d}"
         rev_dir = os.path.join(self.root, rev)
         staged = rev_dir + ".tmp"
         shutil.rmtree(staged, ignore_errors=True)
