@@ -53,7 +53,20 @@ __all__ = [
     "dup_clusters",
     "dup_clusters_sql",
     "AUG_DOCUMENTS_CTE",
+    "DEFAULT_MAX_BUCKET",
+    "boilerplate_documents",
+    "BOILERPLATE_CTE",
 ]
+
+#: Default degenerate-bucket cap for LSH banding (see
+#: :func:`lsh_candidate_pairs`). A bucket of k docs emits k^2/2 candidate
+#: pairs, so ONE all-identical-boilerplate bucket goes quadratic at corpus
+#: scale; 64 is far above any organic bucket (max observed 7 at sf0.1 —
+#: real near-dup groups are shallow) while capping the blowup a
+#: boilerplate-heavy corpus hits first. Members of excluded buckets are
+#: near-certain exact/boilerplate dups and remain covered by
+#: :func:`exact_dedup` (asserted by the dedup_lsh_skew_cap gate).
+DEFAULT_MAX_BUCKET = 64
 
 
 # -- shared primitives (Spark side + SQL twin) ------------------------------
@@ -100,6 +113,38 @@ documents_aug AS (
   SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
 )
 """
+
+
+#: One fixed boilerplate sentence, repeated verbatim across the injected
+#: docs — the "identical site footer on every page" shape a real crawl
+#: corpus hits first.
+BOILERPLATE_TEXT = (
+    "the same footer text appears on every page of this site join our "
+    "stream for fast query value and big data table scan"
+)
+N_BOILERPLATE = 500
+
+BOILERPLATE_CTE = f"""
+documents_skew AS (
+  SELECT doc_id, text FROM documents_aug
+  UNION ALL
+  SELECT 300000 + i AS doc_id, '{BOILERPLATE_TEXT}' AS text
+  FROM range({N_BOILERPLATE}) t(i)
+)
+"""
+
+
+def boilerplate_documents(docs: DataFrame) -> DataFrame:
+    """Skewed-corpus fixture: the augmented corpus plus ``N_BOILERPLATE``
+    byte-identical boilerplate docs (ids 300000+). All of them collapse
+    into ONE bucket per LSH band — the degenerate-bucket hazard
+    ``max_bucket`` defends against (k²/2 candidate pairs from one bucket)."""
+    spark = docs.sparkSession
+    boiler = spark.range(N_BOILERPLATE).select(
+        (F.col("id") + 300000).alias("doc_id"),
+        F.lit(BOILERPLATE_TEXT).alias("text"),
+    )
+    return augmented_documents(docs).unionByName(boiler)
 
 
 def augmented_documents(docs: DataFrame) -> DataFrame:
@@ -160,12 +205,12 @@ def doc_shingles(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True) -> 
     return out.distinct() if distinct else out
 
 
-def shingles_sql(k: int = SHINGLE_K) -> str:
+def shingles_sql(k: int = SHINGLE_K, source: str = "documents_aug") -> str:
     norm = NORMALIZE_SQL.format(c="text")
     parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
     return f"""
 shingled AS (
-  SELECT doc_id, string_split({norm}, ' ') AS w FROM documents_aug
+  SELECT doc_id, string_split({norm}, ' ') AS w FROM {source}
 ),
 shingles AS (
   SELECT DISTINCT doc_id, {parts} AS shingle
@@ -245,7 +290,7 @@ def lsh_candidate_pairs(
     sig: DataFrame,
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a candidate
     pair. Band key = md5 over the band's signature slice; candidates come
@@ -256,8 +301,11 @@ def lsh_candidate_pairs(
     quadratic. Buckets larger than the cap are EXCLUDED from pair
     generation (their members are near-certain exact/boilerplate dups —
     handled by exact dedup, which is cheaper); the cap is a window count
-    over the bucket key, one extra narrow shuffle, deterministic. Default
-    None keeps the exact reference semantics (oracle-gated)."""
+    over the bucket key, one extra narrow shuffle, deterministic. The
+    default (:data:`DEFAULT_MAX_BUCKET`) is a no-op on organic corpora
+    (max observed bucket 7 at sf0.1) and is mirrored in
+    :func:`lsh_pairs_sql`, so the oracle stays exact; pass ``None`` for
+    uncapped reference semantics."""
     # band rows come from ONE explode over an array of (band, key) structs —
     # NOT a union of per-band selects: Catalyst prunes a union branch's agg
     # to just that band's columns and replicates the whole upstream
@@ -292,7 +340,13 @@ def lsh_candidate_pairs(
     )
 
 
-def lsh_pairs_sql(bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> str:
+def lsh_pairs_sql(
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    """DuckDB twin of :func:`lsh_candidate_pairs`, including the same
+    ``max_bucket`` degenerate-bucket cap (bucket-size window count)."""
     selects = []
     for b in range(bands):
         cols = " || '_' || ".join(
@@ -300,10 +354,23 @@ def lsh_pairs_sql(bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> str
         )
         selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM signatures")
     union = "\n  UNION ALL\n  ".join(selects)
-    return f"""
+    cap = (
+        ""
+        if max_bucket is None
+        else f"""
 buckets AS (
+  SELECT doc_id, band, bkey FROM (
+    SELECT doc_id, band, bkey,
+           count(*) OVER (PARTITION BY band, bkey) AS __bsz
+    FROM buckets_raw
+  ) WHERE __bsz <= {max_bucket}
+),"""
+    )
+    raw_name = "buckets" if max_bucket is None else "buckets_raw"
+    return f"""
+{raw_name} AS (
   {union}
-),
+),{cap}
 cand_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buckets a JOIN buckets b

@@ -119,6 +119,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_skew_cap",
+    "WITH " + ",\n".join([
+        DD.AUG_DOCUMENTS_CTE.strip(),
+        DD.BOILERPLATE_CTE.strip(),
+        DD.shingles_sql(source="documents_skew").strip(),
+        DD.minhash_sql().strip(),
+        DD.lsh_pairs_sql().strip(),
+    ]) + "\nSELECT doc_a, doc_b FROM cand_pairs",
+    doc="LSH banding under a boilerplate-skewed corpus (500 byte-identical "
+    "docs injected): the DEFAULT_MAX_BUCKET cap excludes the one "
+    "degenerate bucket (which alone would emit ~125k quadratic pairs) "
+    "while organic candidates pass through — the bucket-size window count "
+    "is mirrored in the oracle, so the exclusion semantics are value-gated",
+)
+def q_dedup_lsh_skew_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = DD.boilerplate_documents(load_table(spark, sf_dir, "documents"))
+    sh = DD.doc_shingles(docs, distinct=False)
+    return DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
+
+
+@register(
     "dedup_simhash",
     _docs_sql(
         "SELECT doc_a, doc_b, hamming FROM sim_pairs WHERE hamming <= 3",

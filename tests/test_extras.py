@@ -204,6 +204,54 @@ class TestLshBucketCap:
         assert capped < uncapped and capped <= 100  # bounded by the cap
 
 
+class TestLshSkewCapDefault:
+    """VERDICT r3 #2: the DEFAULT_MAX_BUCKET cap must be a defended
+    behavior, not a documented knob — bounded candidate volume on a
+    boilerplate-skewed corpus, with excluded-bucket members still caught
+    by exact dedup."""
+
+    def _skewed(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        return DD.boilerplate_documents(
+            spark.read.parquet(f"{SF}/documents.parquet")
+        )
+
+    def test_candidate_volume_bounded(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        docs = self._skewed(spark)
+        sig = DD.minhash_signatures(DD.doc_shingles(docs, distinct=False))
+        capped = DD.lsh_candidate_pairs(sig).count()  # default cap ON
+        # the one boilerplate bucket alone would contribute 500*499/2 pairs
+        quad = DD.N_BOILERPLATE * (DD.N_BOILERPLATE - 1) // 2
+        uncapped = DD.lsh_candidate_pairs(sig, max_bucket=None).count()
+        assert uncapped >= quad  # blowup is real in the fixture
+        assert capped <= uncapped - quad  # and the cap removes it
+
+    def test_excluded_bucket_caught_by_exact_dedup(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        groups = DD.exact_dedup(self._skewed(spark)).collect()
+        boiler = [g for g in groups if g["keep_id"] == 300000]
+        assert len(boiler) == 1
+        assert boiler[0]["n_copies"] == DD.N_BOILERPLATE
+
+    def test_default_cap_noop_on_organic_corpus(self, spark):
+        # the default must not change results where no degenerate bucket
+        # exists (keeps the other dedup gates' oracle semantics intact)
+        from eventflux_engine_spark import dedup as DD
+
+        docs = DD.augmented_documents(
+            spark.read.parquet(f"{SF}/documents.parquet")
+        )
+        sig = DD.minhash_signatures(DD.doc_shingles(docs, distinct=False))
+        assert (
+            DD.lsh_candidate_pairs(sig).count()
+            == DD.lsh_candidate_pairs(sig, max_bucket=None).count()
+        )
+
+
 class TestDupClusters:
     def test_transitive_chain_collapses_to_one_cluster(self, spark):
         """a-b, b-c, c-d in separate LSH buckets must still resolve to ONE

@@ -1,7 +1,7 @@
 """Simulate the driver's verify pass: entry() smoke + queries() vs
 oracle_sql() value-hash comparison, like CORRECTNESS_r{N}.json.
 
-Usage: python tools/simulate_driver.py [sf_dir]
+Usage: python tools/simulate_driver.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -50,6 +50,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry_mod.queries()
+    if len(sys.argv) > 2:
+        qs = {k: v for k, v in qs.items() if k in sys.argv[2:]}
     oracles = entry_mod.oracle_sql()
     bad = []
     for name, fn in qs.items():
