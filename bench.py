@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "similarity_ivf_topk",
+    "similarity_ivf_trained",
     "text_quality_scores",
     "dml_update_additive",
     "incremental_agg_within_per",

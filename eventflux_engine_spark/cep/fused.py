@@ -39,7 +39,13 @@ def _process_block(
     pdf: pd.DataFrame, spec: PatternSpec, gap_s: int, window_s: int
 ) -> pd.DataFrame:
     keys = pdf[spec.key_col].to_numpy()
-    ts_s = pd.to_datetime(pdf[spec.ts_col]).astype("int64").to_numpy() // 1_000_000_000
+    ts_ns = pd.to_datetime(pdf[spec.ts_col]).astype("int64").to_numpy()
+    # whole-second truncation is safe for tumbling-window bucketing
+    # (floor(floor(x)/w) == floor(x/w) for positive w) but NOT for session
+    # gaps: a 1800.2 s gap straddling a second boundary truncates to 1800
+    # and misses the break (9/15000 convs at sf1.0 — caught by scale
+    # evidence, invisible at sf0.01). Gaps compare at full ns precision.
+    ts_s = ts_ns // 1_000_000_000
     convs, codes = np.unique(keys, return_index=False), None
     codes = np.searchsorted(convs, keys)  # keys sorted → codes monotone
     starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
@@ -54,8 +60,8 @@ def _process_block(
     # test): an event arriving EXACTLY gap_s after the previous one EXTENDS
     # the session in Spark (inclusive merge), so strict > is the parity rule.
     new_conv = np.r_[True, codes[1:] != codes[:-1]]
-    gap = np.r_[0, ts_s[1:] - ts_s[:-1]]
-    new_session = new_conv | (gap > gap_s)
+    gap_ns = np.r_[0, ts_ns[1:] - ts_ns[:-1]]
+    new_session = new_conv | (gap_ns > gap_s * 1_000_000_000)
     n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
 
     # tumbling windows: distinct (conv, bucket) — sorted, so count transitions

@@ -448,3 +448,92 @@ def knn_batch_pandas(
     return corpus.select("vec_id", "embedding").mapInPandas(
         score, schema="q_id long, n_id long, cos_sim double"
     )
+
+
+# --- trained IVF codebook: deterministic distributed k-means -----------------
+# The fixed codebook (registry_data._ivf_assign) is "IVF-shaped"; a real
+# 100 TB pipeline TRAINS centroids. Same loop discipline as
+# dedup.dup_clusters: DataFrame aggs only, localCheckpoint per round, the
+# driver never holds a matrix — only the k×dim centroid table travels (as a
+# broadcast), which is what production IVF training ships to executors too.
+
+
+def kmeans_codebook(
+    emb: DataFrame,
+    k: int = 40,
+    iters: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic spherical k-means codebook: (c_id, c_emb) with unit-norm
+    double centroids.
+
+    - init: hash-seeded — the k vectors with the smallest md5(id) form the
+      seed set (uniform pseudo-random yet fully reproducible; no RNG state).
+    - each of the ``iters`` Lloyd rounds is two shuffles: (1) nearest-
+      centroid assignment via broadcast crossJoin + argmax-by-agg (map-side
+      combine collapses each vector's k scores before the exchange — the
+      same no-window shape as `_ivf_assign`), (2) per-dimension mean via
+      posexplode + groupBy(c_id, pos) partial sums. Both scale linearly in
+      rows; only k×dim bytes broadcast per round.
+    - clusters that lose every member keep their previous centroid
+      (coalesce on a left join), so the codebook size is stable.
+    """
+    from pyspark.sql import Window
+
+    v = emb.select(
+        F.col(id_col).alias("__vid"), _as_double(F.col(emb_col)).alias("__e")
+    )
+    seed_w = Window.orderBy("__h")
+    cents = (
+        v.withColumn("__h", F.md5(F.col("__vid").cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .withColumn("c_id", F.row_number().over(seed_w) - F.lit(1))
+        .select("c_id", F.col("__e").alias("c_emb"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cents))
+        best = F.max(
+            F.struct(
+                cosine(F.col("__e"), F.col("c_emb")).alias("s"),
+                (-F.col("c_id")).alias("nc"),
+            )
+        )
+        assign = (
+            scored.groupBy("__vid")
+            .agg(best.alias("__b"), F.first("__e").alias("__e"))
+            .select((-F.col("__b.nc")).alias("c_id"), "__e")
+        )
+        dims = assign.select(
+            "c_id", F.posexplode("__e").alias("pos", "val")
+        )
+        sums = dims.groupBy("c_id", "pos").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        new = (
+            sums.withColumn("m", F.col("s") / F.col("n"))
+            .groupBy("c_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st["m"],
+                ).alias("__raw")
+            )
+            .withColumn("__n", norm(F.col("__raw")))
+            .select(
+                "c_id",
+                F.transform("__raw", lambda x: x / F.col("__n")).alias(
+                    "c_new"
+                ),
+            )
+        )
+        cents = (
+            cents.join(new, "c_id", "left")
+            .select(
+                "c_id", F.coalesce("c_new", "c_emb").alias("c_emb")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents

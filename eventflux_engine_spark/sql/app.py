@@ -656,8 +656,18 @@ class EventFluxApp:
         base = self._base_df(source).toPandas()
         # type-correct neutral values: the sentinel only advances the
         # watermark; it is excluded from results by __seq >= 10^9 (row-level/
-        # pattern) or by its never-closing far-future window (aggregates)
-        defaults = {"string": None, "int": 0, "bigint": 0, "float": 0.0,
+        # pattern) or by its never-closing far-future window (aggregates).
+        # Outer stream-stream joins need NON-NULL string values: Spark
+        # pushes isnotnull(join_key) below the watermark node and a
+        # null-keyed sentinel would be dropped at the scan (matching is
+        # prevented by the WITHIN bound — sentinel timestamps sit days
+        # apart across feeds, years from data).
+        outer_join = any(
+            h != "inner" and not self.streams[s].is_table
+            for h, s, _, _ in q.joins
+        )
+        defaults = {"string": "\x00sentinel" if outer_join else None,
+                    "int": 0, "bigint": 0, "float": 0.0,
                     "double": 0.0, "boolean": False,
                     "timestamp": _EPOCH}
         sentinel_vals = {c: defaults.get(t) for c, t in sd.columns}
@@ -874,13 +884,19 @@ class EventFluxApp:
                         "streaming stream-stream joins cannot combine with "
                         "OUTPUT rate limiting"
                     )
-                if stream_partners:
+                has_outer = any(j[0] != "inner" for j in stream_partners)
+                if stream_partners and not has_outer:
                     # the driver sentinel must not join real partner rows
                     # (its neutral key values could collide); no event-time
                     # operator follows, so dropping it pre-join is safe
                     out = stream.filter(F.col("__seq") < 10**9).alias(q.source)
                 else:
+                    # outer joins keep the sentinel: the global watermark is
+                    # the MIN across inputs, so the main feed must advance
+                    # too or pads never flush (the join condition excludes
+                    # sentinels from matching; pads are filtered post-join)
                     out = stream.alias(q.source)
+                outer_projected = False
                 for how, sname, cond, _trig in q.joins:
                     if self.streams[sname].is_table:
                         # stream-table enrichment joins: the bound table
@@ -896,13 +912,29 @@ class EventFluxApp:
                     # micro-batch stream-stream join (join_processor.rs's
                     # two live buffers ≙ Spark's symmetric join state).
                     # INNER emits eagerly per match — no watermark needed to
-                    # flush; outer pads require an event-time bound, which
-                    # this SQL surface does not express yet
-                    if how != "inner":
+                    # flush. LEFT/RIGHT/FULL need an event-time bound (ON
+                    # ... WITHIN d) so Spark can expire join state and emit
+                    # the unmatched pads the reference's live outer joins
+                    # produce (join_processor.rs:104-112).
+                    within_ms = q.join_within.get(sname)
+                    if how != "inner" and within_ms is None:
                         raise ValueError(
-                            "streaming stream-stream joins support INNER "
-                            "only (outer pads need an event-time bound)"
+                            "streaming outer stream-stream joins need an "
+                            "event-time bound: JOIN ... ON cond WITHIN d"
                         )
+                    if how != "inner":
+                        if len(q.joins) != 1 or q.output_rate is not None:
+                            raise ValueError(
+                                "streaming outer stream-stream joins "
+                                "support a single join without OUTPUT "
+                                "rate limiting"
+                            )
+                        out = self._join_outer_stream(
+                            out, q, how, sname, cond, within_ms,
+                            n_chunks, join_feed_dirs, watermark,
+                        )
+                        outer_projected = True
+                        continue
                     pstream, pdir = self._mk_stream_feed(sname, n_chunks)
                     join_feed_dirs.append(pdir)
                     partner = (
@@ -910,21 +942,52 @@ class EventFluxApp:
                         .drop("__seq", "__ts")
                         .alias(sname)
                     )
+                    if within_ms is not None:
+                        us = within_ms * 1000
+                        # keep the partner event time for the bound, under a
+                        # name the SELECT items can't collide with
+                        partner = (
+                            pstream.filter(F.col("__seq") < 10**9)
+                            .drop("__seq")
+                            .withColumnRenamed("__ts", "__pts")
+                            .alias(sname)
+                        )
+                        out = out.join(
+                            partner,
+                            F.expr(cond)
+                            & (
+                                F.abs(
+                                    F.unix_micros("__ts")
+                                    - F.unix_micros("__pts")
+                                )
+                                <= F.lit(us)
+                            ),
+                            how,
+                        ).drop("__pts")
+                        continue
                     out = out.join(partner, F.expr(cond), how)
-                if q.where:
-                    out = out.filter(F.expr(q.where))
-                items = [f"{e} AS {a}" if a else e for e, a in q.select_items]
-                if q.output_rate is not None:
-                    # OUTPUT rate limiting runs INSIDE the live pipeline
-                    # (ratelimit/*.rs at select_processor.rs:30-38) — a
-                    # stateful counter / event-time bucket operator, not a
-                    # post-hoc batch filter
-                    from ..streaming.ratelimit import output_rate_stream
+                if not outer_projected:
+                    # (an outer stream join already applied WHERE + the item
+                    # projection — qualified refs must resolve before the
+                    # pad-filter projection loses the join aliases)
+                    if q.where:
+                        out = out.filter(F.expr(q.where))
+                    items = [
+                        f"{e} AS {a}" if a else e for e, a in q.select_items
+                    ]
+                    if q.output_rate is not None:
+                        # OUTPUT rate limiting runs INSIDE the live pipeline
+                        # (ratelimit/*.rs at select_processor.rs:30-38) — a
+                        # stateful counter / event-time bucket operator, not
+                        # a post-hoc batch filter
+                        from ..streaming.ratelimit import output_rate_stream
 
-                    out = out.selectExpr(*items, "__seq", "__ts")
-                    out = output_rate_stream(out, *q.output_rate).drop("__ts")
-                else:
-                    out = out.selectExpr(*items, "__seq")
+                        out = out.selectExpr(*items, "__seq", "__ts")
+                        out = output_rate_stream(out, *q.output_rate).drop(
+                            "__ts"
+                        )
+                    else:
+                        out = out.selectExpr(*items, "__seq")
                 mode = "append"
             else:
                 # non-windowed GROUP BY: running aggregation. The reference
@@ -967,7 +1030,80 @@ class EventFluxApp:
             for d in join_feed_dirs:
                 shutil.rmtree(d, ignore_errors=True)
 
-    def _mk_stream_feed(self, sname: str, n_chunks: int, sentinel_seq=None):
+    def _join_outer_stream(
+        self,
+        out: DataFrame,
+        q,
+        how: str,
+        sname: str,
+        cond: str,
+        within_ms: int,
+        n_chunks: int,
+        join_feed_dirs: list,
+        watermark: str,
+    ) -> DataFrame:
+        """Streaming LEFT/RIGHT/FULL stream-stream join with an event-time
+        bound (``ON cond WITHIN d``): both sides carry watermarks, the bound
+        becomes the range condition Spark's symmetric join state needs to
+        expire buffered rows, and unmatched rows surface as live null-pads
+        once the watermark passes — the reference's outer-join emission
+        (``join_processor.rs:104-112``, ``tests/app_runner_joins.rs:28-43``).
+
+        Returns the FULLY projected stream (select items + ``__seq``): the
+        pad filter must run while the join aliases are still resolvable, so
+        WHERE and the item projection happen here, not in the caller."""
+        if within_ms >= 6 * 86_400_000:
+            # sentinel timestamps sit 7 days apart so the bound itself keeps
+            # them from ever matching (see below)
+            raise ValueError(
+                "streaming outer-join WITHIN bounds must be under 6 days"
+            )
+        # partner feed carries its own far-future sentinel: pads flush only
+        # when BOTH sides' watermarks advance past the bound. The sentinel
+        # must carry NON-NULL join-key strings: Spark pushes isnotnull(key)
+        # below the partner's watermark node for outer joins, and a
+        # null-keyed sentinel would be filtered at the scan — its watermark
+        # contribution silently lost (observed: pads never flush). Matching
+        # is instead prevented by the time bound: the two sentinels sit 7
+        # days apart (offset derived from sentinel_seq), real rows ~10
+        # years away.
+        pstream, pdir = self._mk_stream_feed(
+            sname, n_chunks, sentinel_seq=10**9 + 7,
+            sentinel_strings="\x00sentinel",
+        )
+        join_feed_dirs.append(pdir)
+        main = out.withWatermark("__ts", watermark)
+        partner = (
+            pstream.withColumnRenamed("__seq", "__pseq")
+            .withColumnRenamed("__ts", "__pts")
+            .withWatermark("__pts", watermark)
+            .alias(sname)
+        )
+        # the canonical range form Spark's state-cleanup analyzer
+        # recognizes (plain interval arithmetic on the two event-time
+        # columns — wrapping them in unix_micros would defeat detection)
+        bound = F.expr(
+            f"__pts >= __ts - INTERVAL {within_ms} MILLISECONDS AND "
+            f"__pts <= __ts + INTERVAL {within_ms} MILLISECONDS"
+        )
+        # NO sentinel-exclusion conjuncts here and NO in-plan pad filter:
+        # any deterministic single-side predicate (like __seq < 10^9) gets
+        # pushed below that side's watermark node, hiding the sentinel from
+        # watermark tracking. Sentinel pads are dropped at the drain instead
+        # (__seq >= 10^9 after the coalesce below).
+        j = main.join(partner, F.expr(cond) & bound, how)
+        if q.where:
+            j = j.filter(F.expr(q.where))
+        items = [f"{e} AS {a}" if a else e for e, a in q.select_items]
+        return j.selectExpr(*items, "coalesce(__seq, __pseq) AS __seq")
+
+    def _mk_stream_feed(
+        self,
+        sname: str,
+        n_chunks: int,
+        sentinel_seq=None,
+        sentinel_strings: str | None = None,
+    ):
         """Materialize a stream's sent rows as a chunked parquet feed and
         open it as a file stream — a secondary input of a stream-stream
         join or multi-stream pattern (each input is its own micro-batch
@@ -976,7 +1112,17 @@ class EventFluxApp:
         ``sentinel_seq``: when set, a far-future sentinel row is appended
         (with that __seq) — required whenever the feed joins an event-time
         operator, because a union's/join's watermark is the MIN across
-        inputs and a sentinel-less input would hold it back forever."""
+        inputs and a sentinel-less input would hold it back forever. The
+        sentinel's timestamp is offset by ``sentinel_seq - 10**9`` days
+        beyond the base far-future point, so every feed's sentinel is
+        temporally distinct (outer-join time bounds then exclude
+        sentinel-sentinel matches structurally).
+
+        ``sentinel_strings``: value for the sentinel's string columns
+        (default NULL). Outer joins need NON-NULL values here — Spark
+        pushes ``isnotnull(join_key)`` below the watermark node, and a
+        null-keyed sentinel would be dropped at the scan, silently losing
+        its watermark contribution."""
         import os
         import tempfile
 
@@ -989,12 +1135,16 @@ class EventFluxApp:
             # empty and the join correctly yields zero rows
             sentinel_seq = 2 * 10**9
         if sentinel_seq is not None:
-            defaults = {"string": None, "int": 0, "bigint": 0, "float": 0.0,
-                        "double": 0.0, "boolean": False, "timestamp": _EPOCH}
+            defaults = {"string": sentinel_strings, "int": 0, "bigint": 0,
+                        "float": 0.0, "double": 0.0, "boolean": False,
+                        "timestamp": _EPOCH}
             vals = {c: defaults.get(t) for c, t in self.streams[sname].columns}
+            # per-feed distinct far-future ts (offset capped for the
+            # 2*10**9 empty-partner sentinel)
+            off = min(max(sentinel_seq - 10**9, 0), 30)
             sent = pd.DataFrame(
                 [{**vals, "__seq": sentinel_seq,
-                  "__ts": _EPOCH + datetime.timedelta(days=3650)}]
+                  "__ts": _EPOCH + datetime.timedelta(days=3650 + off)}]
             )
             base = pd.concat([base, sent], ignore_index=True).astype(
                 base.dtypes.to_dict()
@@ -1307,6 +1457,14 @@ class EventFluxApp:
 
         join_parts = []
         for how, s, cond, trig in q.joins:
+            if s in q.join_within:
+                # event-time bound (ON ... WITHIN d): identical predicate in
+                # batch and streaming so the two modes stay row-identical
+                us = q.join_within[s] * 1000
+                cond = (
+                    f"({cond}) AND abs(unix_micros({q.source}.__ts) - "
+                    f"unix_micros({s}.__ts)) <= {us}"
+                )
             if trig == "left":
                 # only LEFT arrivals emit: the left event must arrive after
                 # the right one was buffered

@@ -272,6 +272,12 @@ class QueryDef:
     #: (how, stream, cond, trigger) — trigger 'all'|'left'|'right'
     #: (unidirectional EventTrigger, join_input_stream.rs:23-28)
     joins: list[tuple[str, str, str, str]] = field(default_factory=list)
+    #: stream → event-time bound ms from ``JOIN S ON cond WITHIN d``: the
+    #: partner must arrive within d of the driving event. Gives streaming
+    #: outer joins the state-expiry bound the reference's live pads need
+    #: (join_processor.rs:104-112); the same bound applies in batch so the
+    #: two modes stay row-identical.
+    join_within: dict = field(default_factory=dict)
     where: Optional[str] = None
     group_by: Optional[str] = None
     having: Optional[str] = None
@@ -465,7 +471,7 @@ def parse_insert(stmt: str) -> QueryDef:
     if pm:
         q.pattern = _parse_pattern(pm.group(1))
     else:
-        q.source, q.window, q.joins = _parse_from(frm)
+        q.source, q.window, q.joins, q.join_within = _parse_from(frm)
 
     q.where = clauses.get("WHERE")
     q.group_by = clauses.get("GROUP_BY")
@@ -545,6 +551,7 @@ def _parse_from(frm: str):
         head = head[: wm.start()] + head[wm.end():]
     source = head.strip().split()[0]
 
+    within: dict[str, int] = {}
     for i, jm in enumerate(matches):
         how = (jm.group(1) or "inner").lower()
         if how == "full":
@@ -556,8 +563,13 @@ def _parse_from(frm: str):
         trigger = "left" if left_uni else ("right" if right_uni else "all")
         cond_end = matches[i + 1].start() if i + 1 < len(matches) else len(frm)
         cond = frm[jm.end(): cond_end].strip()
+        # optional trailing event-time bound: ON cond WITHIN 5 sec
+        bm = re.search(r"\s+WITHIN\s+(\S+(?:\s+\w+)?)\s*$", cond, re.IGNORECASE)
+        if bm:
+            within[stream] = parse_time_ms(bm.group(1))
+            cond = cond[: bm.start()].strip()
         joins.append((how, stream, cond, trigger))
-    return source, window, joins
+    return source, window, joins, within
 
 
 def _strip_outer_parens(text: str) -> str:

@@ -656,3 +656,59 @@ class TestBandingPlanShape:
         # per side: the shingle-distinct exchange + the bitsum aggregate
         # exchange = 2, so 4 total; a per-chunk union regression reads 8+
         assert plan.count("Exchange hashpartitioning(doc_id") <= 4
+
+
+class TestTrainedIvf:
+    """VERDICT r3 #4: trained IVF codebook (deterministic distributed
+    k-means) must not lose recall vs the fixed codebook."""
+
+    def _recall(self, spark, topk_df, truth):
+        got = {(r["q_id"], r["n_id"]) for r in topk_df.collect()}
+        return len(got & truth) / len(truth)
+
+    def test_trained_recall_at_least_fixed(self, spark):
+        # sf0.1: both codebooks have 40 cells there, so the probe budget is
+        # equal and the comparison is not dominated by 1-pair noise
+        from eventflux_engine_spark.plans.registry import QUERIES
+        from eventflux_engine_spark import similarity as SIM
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.1"
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        # brute-force ground truth: top-3 neighbors of queries vec_id < 10
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qa")
+        )
+        n = emb.select(
+            F.col("vec_id").alias("n_id"), F.col("embedding").alias("nb")
+        )
+        from pyspark.sql import Window
+
+        rw = Window.partitionBy("q_id").orderBy(
+            F.col("cos").desc(), F.col("n_id")
+        )
+        truth = {
+            (r["q_id"], r["n_id"])
+            for r in q.join(n, F.col("q_id") != F.col("n_id"))
+            .withColumn("cos", SIM.qcosine(F.col("qa"), F.col("nb")))
+            .withColumn("rk", F.row_number().over(rw))
+            .filter(F.col("rk") <= 3)
+            .collect()
+        }
+        fixed = QUERIES["similarity_ivf_topk"].fn(spark, sf)
+        trained = QUERIES["similarity_ivf_trained"].fn(spark, sf)
+        r_fixed = self._recall(spark, fixed, truth)
+        r_trained = self._recall(spark, trained, truth)
+        assert len(truth) == 30
+        assert r_trained >= r_fixed  # training must not LOSE recall
+
+    def test_kmeans_deterministic_and_unit_norm(self, spark):
+        from eventflux_engine_spark import similarity as SIM
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        c1 = SIM.kmeans_codebook(emb, k=8, iters=2)
+        rows = c1.withColumn("n", SIM.norm(F.col("c_emb"))).collect()
+        assert len(rows) == 8
+        for r in rows:
+            assert abs(r["n"] - 1.0) < 1e-9  # spherical: unit centroids

@@ -1615,7 +1615,9 @@ class TestStreamingStreamJoin:
         streamed = sorted(app.run_streaming("Out", n_chunks=3))
         assert streamed == batch and len(streamed) == 36
 
-    def test_outer_stream_join_rejected(self, spark):
+    def test_outer_stream_join_without_bound_rejected(self, spark):
+        # an outer stream-stream join with NO event-time bound cannot
+        # expire state — the dialect demands ON ... WITHIN d
         app = EventFluxApp(spark).execute(
             """
             CREATE STREAM L (id INT);
@@ -1628,8 +1630,77 @@ class TestStreamingStreamJoin:
         app.send("R", [(1,)])
         import pytest as _pytest
 
-        with _pytest.raises(ValueError, match="INNER only"):
+        with _pytest.raises(ValueError, match="WITHIN"):
             app.run_streaming("Out")
+
+
+class TestStreamingOuterStreamJoin:
+    """≙ join_processor.rs:104-112 live outer pads / tests/app_runner_joins.rs
+    :28-43: LEFT/RIGHT/FULL between two live feeds, with ON ... WITHIN d as
+    the event-time bound that lets Spark expire symmetric join state and
+    emit the null-pads. Streaming rows must match the batch run()."""
+
+    def _app(self, spark, how: str):
+        return EventFluxApp(spark).execute(
+            f"""
+            CREATE STREAM L (k VARCHAR, v INT);
+            CREATE STREAM R2 (k VARCHAR, w INT);
+            CREATE STREAM Out (k VARCHAR, v INT, w INT);
+            INSERT INTO Out
+            SELECT L.k, L.v, R2.w FROM L {how} JOIN R2
+              ON L.k = R2.k WITHIN 5 seconds;
+            """
+        )
+
+    def _feed(self, app):
+        app.send("L", [("a", 1)])            # seq0, ts=0s
+        app.send("R2", [("a", 10)])          # seq1 — within 5s of L.a
+        app.send("L", [("b", 2)])            # seq2 — never matches -> pad
+        app.send("L", [("c", 3)])            # seq3
+        app.send("R2", [("x", 99)])          # seq4 — unmatched right row
+        app.send("R2", [("y", 98), ("y2", 97), ("y3", 96), ("y4", 95)])
+        app.send("R2", [("c", 30)])          # seq9 — |9-3| = 6s > 5s bound
+
+    def test_left_outer_matches_and_pads(self, spark):
+        app = self._app(spark, "LEFT")
+        self._feed(app)
+        batch = sorted(app.run("Out"), key=str)
+        streamed = sorted(app.run_streaming("Out", n_chunks=3), key=str)
+        assert streamed == batch
+        assert ("a", 1, 10) in streamed       # in-bound match
+        assert ("b", 2, None) in streamed     # no partner -> pad
+        assert ("c", 3, None) in streamed     # partner OUTSIDE bound -> pad
+        assert len(streamed) == 3             # right-only rows not emitted
+
+    def test_full_outer_emits_both_sides(self, spark):
+        app = self._app(spark, "FULL")
+        self._feed(app)
+        batch = sorted(app.run("Out"), key=str)
+        streamed = sorted(app.run_streaming("Out", n_chunks=3), key=str)
+        assert streamed == batch
+        assert ("a", 1, 10) in streamed
+        assert ("b", 2, None) in streamed
+        # unmatched RIGHT rows pad the left side (select reads L.k -> None)
+        assert (None, None, 99) in streamed
+        assert len(streamed) == 3 + 6         # 3 left-side + 6 right pads
+
+    def test_right_outer(self, spark):
+        app = self._app(spark, "RIGHT")
+        self._feed(app)
+        batch = sorted(app.run("Out"), key=str)
+        streamed = sorted(app.run_streaming("Out", n_chunks=3), key=str)
+        assert streamed == batch
+        assert ("a", 1, 10) in streamed
+        assert (None, None, 30) in streamed   # out-of-bound partner pads
+        assert len(streamed) == 7             # 1 match + 6 right pads
+
+    def test_inner_join_respects_within_bound(self, spark):
+        # the WITHIN bound also constrains INNER joins (batch + streaming)
+        app = self._app(spark, "INNER")
+        self._feed(app)
+        batch = sorted(app.run("Out"), key=str)
+        streamed = sorted(app.run_streaming("Out", n_chunks=3), key=str)
+        assert streamed == batch == [("a", 1, 10)]
 
 
 class TestStreamingMultiStreamPattern:
