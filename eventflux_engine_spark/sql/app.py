@@ -504,10 +504,76 @@ class EventFluxApp:
     # DELETE against a table's CURRENT state, outside any stream query.
 
     def on_demand(self, sql: str) -> list[tuple] | int:
-        """Run an on-demand store query. SELECT returns rows; UPDATE/DELETE
-        mutate the table state in place and return the affected-row count."""
+        """Run an on-demand store query (≙ OnDemandQueryType,
+        on_demand_query.rs:17-28). SELECT returns rows; UPDATE / DELETE /
+        UPDATE OR INSERT mutate the table state in place and return the
+        affected-row count (an UPDATE OR INSERT that matches nothing
+        inserts one row built from its SET items,
+        on_demand_query.rs:132-150 update_or_insert_by)."""
         stmt = sql.strip().rstrip(";")
         head = stmt.split(None, 1)[0].upper()
+        upsert = bool(
+            re.match(r"UPDATE\s+OR\s+INSERT\b", stmt, re.IGNORECASE)
+        )
+        if upsert:
+            m = re.match(
+                r"UPDATE\s+OR\s+INSERT\s+INTO\s+(\w+)\s+SET\s+(.*?)"
+                r"(?:\s+WHERE\s+(.*))?$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if m is None:
+                raise ValueError(
+                    "on-demand UPDATE OR INSERT must be 'UPDATE OR INSERT "
+                    "INTO <table> SET col = expr[, ...] [WHERE <cond>]': "
+                    f"{stmt[:80]!r}"
+                )
+            table, set_text, cond_text = m.groups()
+            d = DmlDef("update", table, "__none__", (cond_text or "").strip())
+            from .compiler import _split_top
+
+            for item in _split_top(set_text):
+                am = re.match(r"([\w.]+)\s*=\s*(.+)$", item.strip(), re.DOTALL)
+                if am is None:
+                    raise ValueError(
+                        f"bad SET item in on-demand UPDATE OR INSERT: {item!r}"
+                    )
+                d.set_items.append(
+                    (am.group(1).split(".")[-1], am.group(2).strip())
+                )
+            if table not in self.streams:
+                raise ValueError(f"unknown table {table!r} in on-demand statement")
+            cols = [c for c, _ in self.streams[table].columns]
+            state = self._table_state(table)
+            cond = (
+                self._compile_dml_expr(d.condition, d, cols)
+                if d.condition
+                else (lambda row, event: True)
+            )
+            setters = [
+                (col, self._compile_dml_expr(expr, d, cols))
+                for col, expr in d.set_items
+            ]
+            n = 0
+            for row in state:
+                if cond(row, {}):
+                    row.update({col: fn(row, {}) for col, fn in setters})
+                    n += 1
+            if n == 0:
+                # miss → insert: the new row is built from the SET items
+                # over a null-initialized row (upsert_table_processor.rs
+                # miss branch semantics, applied store-side)
+                row = {c: None for c in cols}
+                row.update(
+                    {
+                        "__seq": self._seq,
+                        "__ts": _EPOCH + datetime.timedelta(seconds=self._seq),
+                    }
+                )
+                row.update({col: fn(row, {}) for col, fn in setters})
+                self._seq += 1
+                state.append(row)
+                n = 1
+            return n
         if head == "SELECT":
             tables = {d.table for d in self.dml} | {
                 n for n, s in self.streams.items() if s.is_table
@@ -720,14 +786,98 @@ class EventFluxApp:
             is_agg = bool(q.group_by) or any(
                 _is_agg_expr(e) for e, _ in q.select_items
             )
-            if q.output_rate is not None and (
-                q.pattern is not None or is_agg or q.output_rate[0] == "SNAPSHOT"
+            snapshot = (
+                q.output_rate is not None and q.output_rate[0] == "SNAPSHOT"
+            )
+            if q.output_rate is not None and not snapshot and (
+                q.pattern is not None or is_agg
             ):
                 raise ValueError(
                     "streaming OUTPUT rate limiting supports row-level "
-                    "FIRST/LAST/ALL EVERY n EVENTS / d TIME queries"
+                    "FIRST/LAST/ALL EVERY n EVENTS / d TIME queries and "
+                    "OUTPUT SNAPSHOT over aggregating queries"
                 )
-            if q.pattern is not None:
+            if snapshot:
+                # OUTPUT SNAPSHOT EVERY d over a live aggregating query
+                # (snapshot_output_rate.rs): per-tick full-state emission as
+                # a stateful op; identical event-time restatement to the
+                # batch operator, so batch/streaming rows match
+                if q.pattern is not None or q.window is not None or not is_agg:
+                    raise ValueError(
+                        "streaming OUTPUT SNAPSHOT supports non-windowed "
+                        "aggregating queries"
+                    )
+                from ..operators.output import _parse_simple_agg
+                from ..streaming.ratelimit import snapshot_agg_stream
+
+                keys = [
+                    g.strip() for g in (q.group_by or "").split(",") if g.strip()
+                ]
+                agg_items = [
+                    (e, a or e) for e, a in q.select_items if _is_agg_expr(e)
+                ]
+                parsed = [_parse_simple_agg(e) for e, _ in agg_items]
+                if any(p is None for p in parsed):
+                    raise ValueError(
+                        "streaming SNAPSHOT needs decomposable aggregates "
+                        "(count/sum/avg/min/max)"
+                    )
+                aliases = [a for _, a in agg_items]
+                src_f = (
+                    stream.filter(
+                        F.expr(q.where) | (F.col("__seq") >= 10**9)
+                    )
+                    if q.where
+                    else stream
+                )
+                proj = src_f.select(
+                    *keys,
+                    *[
+                        (
+                            F.lit(1.0)
+                            if fn == "count" and arg == "*"
+                            else F.expr(arg).cast("double")
+                        ).alias(f"_a{i}")
+                        for i, (fn, arg) in enumerate(parsed)
+                    ],
+                    "__seq", "__ts",
+                )
+                interval_ms = q.output_rate[1]
+                end = _EPOCH + datetime.timedelta(seconds=max(self._seq, 1))
+                start_ms = int(
+                    _EPOCH.replace(
+                        tzinfo=datetime.timezone.utc
+                    ).timestamp() * 1000
+                )
+                n_ticks = int(
+                    (end - _EPOCH).total_seconds() * 1000 // interval_ms
+                )
+                ktypes = dict(self.streams[q.source].columns)
+                out_schema = ", ".join(
+                    ["__tick bigint"]
+                    + [f"{k} {ktypes[k]}" for k in keys]
+                    + [
+                        f"`{a}` " + (
+                            "bigint" if parsed[i][0] == "count" else "double"
+                        )
+                        for i, a in enumerate(aliases)
+                    ]
+                )
+                snap = snapshot_agg_stream(
+                    proj, keys, parsed, aliases, out_schema,
+                    interval_ms, start_ms, n_ticks,
+                )
+                # final projection in select-item order, cast to the target
+                # stream's declared types (batch sum(int) is BIGINT etc.)
+                ttypes = dict(self.streams[target].columns)
+                tcols = [c for c, _ in self.streams[target].columns]
+                sel = [F.col("__tick")]
+                for (e, a), c in zip(q.select_items, tcols):
+                    src_col = (a or e) if _is_agg_expr(e) else e
+                    sel.append(F.col(src_col).cast(ttypes[c]).alias(c))
+                out = snap.select(*sel)
+                mode = "append"
+            elif q.pattern is not None:
                 # multi-stream patterns: union every step stream into one
                 # unified-schema feed tagged with __src (the batch path's
                 # construction, streaming twin) — each secondary feed gets
@@ -1019,7 +1169,12 @@ class EventFluxApp:
             qh.stop()
             res = self.spark.sql(f"SELECT * FROM {name}")
             # drop sentinel artifacts (null-keyed rows / sentinel seq)
-            if "__seq" in res.columns:
+            if "__tick" in res.columns:
+                # SNAPSHOT emission order: (tick, keys) — matches the batch
+                # operator's row_number over (tick, keys)
+                rest = [c for c in res.columns if c != "__tick"]
+                res = res.orderBy("__tick", *rest).drop("__tick")
+            elif "__seq" in res.columns:
                 res = res.filter(F.col("__seq") < 10**9).orderBy("__seq").drop("__seq")
             else:
                 first_out = res.columns[0]

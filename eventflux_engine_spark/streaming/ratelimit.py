@@ -128,3 +128,193 @@ def output_rate_stream(
             fn, schema, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+# -- OUTPUT SNAPSHOT EVERY d over aggregating queries, streaming ------------
+
+_SNAP_STATE = "hw bigint, next_tick bigint, accs string, buf string"
+
+
+def snapshot_agg_stream(
+    stream: DataFrame,
+    keys: list[str],
+    parsed: list[tuple[str, str]],
+    aliases: list[str],
+    out_schema: str,
+    interval_ms: int,
+    start_ms: int,
+    n_ticks: int,
+    sentinel_seq: int = 10**9,
+) -> DataFrame:
+    """Streaming ``OUTPUT SNAPSHOT EVERY d`` over an aggregating query
+    (``snapshot_output_rate.rs``: every d the FULL current aggregate state
+    emits). Event-time restatement identical to the batch operator
+    (``operators/output.py:output_snapshot_agg``): for tick t in
+    (start, start + n_ticks*d], emit per-key aggregates over all events
+    with ts <= t; a key appears once it has >= 1 event at or before the
+    tick.
+
+    The limiter is ONE ``applyInPandasWithState`` group — the reference's
+    snapshot limiter is a per-query serial point too (scheduler timer +
+    full-state walk, serialized through ``stream_junction.rs`` dispatch).
+    Ticks become due as the high-water event time passes them (the app
+    feed is arrival-ordered on its logical clock, the same assumption
+    ``output_rate_stream``'s TIME buckets make); the far-future flush
+    sentinel drives every remaining tick due at end-of-stream. Running
+    accumulators fold buffered events per due tick, so each event is
+    touched once — state holds per-key partials plus the not-yet-due
+    buffer, never the full history.
+
+    ``parsed``: list of (fn, argcol) with fn in count/sum/avg/min/max; the
+    arg expressions are pre-projected to columns ``_a{i}`` by the caller
+    (Catalyst evaluates them; pandas only folds numbers)."""
+    gcols = list(keys)
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            hw, next_tick, accs_blob, buf_blob = state.get
+        else:
+            hw, next_tick, accs_blob, buf_blob = -(1 << 62), 1, "", ""
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.drop(columns="__g").sort_values("__seq", kind="stable")
+            hw = max(hw, int(pdf["__ts"].astype("int64").max() // 1_000_000))
+            real = pdf[pdf["__seq"] < sentinel_seq].drop(columns="__seq")
+            proto = real.iloc[0:0]
+            buf = pd.concat(
+                [_unpack(buf_blob, proto), real], ignore_index=True
+            )
+            accs = _unpack(accs_blob, _accs_proto(proto, gcols, parsed))
+            outs = []
+            while (
+                next_tick <= n_ticks
+                and start_ms + next_tick * interval_ms <= hw
+            ):
+                t_ms = start_ms + next_tick * interval_ms
+                ts_ms = buf["__ts"].astype("int64") // 1_000_000
+                due = buf[ts_ms <= t_ms]
+                buf = buf[ts_ms > t_ms]
+                if len(due):
+                    accs = _fold(accs, due, gcols, parsed)
+                if len(accs):
+                    emit = accs[gcols].copy() if gcols else pd.DataFrame(
+                        index=accs.index
+                    )
+                    emit.insert(0, "__tick", t_ms)
+                    for i, (afn, _arg) in enumerate(parsed):
+                        if afn == "count":
+                            emit[aliases[i]] = accs[f"_c{i}"].astype("int64")
+                        elif afn == "sum":
+                            emit[aliases[i]] = accs[f"_s{i}"]
+                        elif afn == "avg":
+                            emit[aliases[i]] = accs[f"_s{i}"] / accs[f"_c{i}"]
+                        elif afn == "min":
+                            emit[aliases[i]] = accs[f"_m{i}"]
+                        else:
+                            emit[aliases[i]] = accs[f"_x{i}"]
+                    outs.append(emit)
+                next_tick += 1
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+            buf_blob, accs_blob = _pack(buf), _pack(accs)
+        state.update((hw, next_tick, accs_blob, buf_blob))
+
+    return (
+        stream.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandasWithState(
+            fn, out_schema, _SNAP_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def _accs_proto(proto: pd.DataFrame, gcols: list[str], parsed) -> pd.DataFrame:
+    cols: dict = {k: proto[k] for k in gcols}
+    for i, (afn, _arg) in enumerate(parsed):
+        if afn == "count":
+            cols[f"_c{i}"] = pd.Series(dtype="int64")
+        elif afn == "sum":
+            cols[f"_s{i}"] = pd.Series(dtype="float64")
+        elif afn == "avg":
+            cols[f"_s{i}"] = pd.Series(dtype="float64")
+            cols[f"_c{i}"] = pd.Series(dtype="int64")
+        elif afn == "min":
+            cols[f"_m{i}"] = pd.Series(dtype="float64")
+        else:
+            cols[f"_x{i}"] = pd.Series(dtype="float64")
+    return pd.DataFrame(cols)
+
+
+def _fold(accs: pd.DataFrame, due: pd.DataFrame, gcols, parsed) -> pd.DataFrame:
+    """Fold a block of newly-due events into the running per-key partials."""
+    # per-key partials of the due block
+    g = due.groupby(gcols, sort=False, dropna=False) if gcols else None
+    parts: dict = {}
+    for i, (afn, _arg) in enumerate(parsed):
+        col = due[f"_a{i}"]
+        if afn == "count":
+            parts[f"_c{i}"] = (
+                g[f"_a{i}"].count() if g is not None else pd.Series(
+                    [col.count()]
+                )
+            )
+        elif afn in ("sum", "avg"):
+            parts[f"_s{i}"] = (
+                g[f"_a{i}"].sum() if g is not None else pd.Series([col.sum()])
+            )
+            if afn == "avg":
+                parts[f"_c{i}"] = (
+                    g[f"_a{i}"].count()
+                    if g is not None
+                    else pd.Series([col.count()])
+                )
+        elif afn == "min":
+            parts[f"_m{i}"] = (
+                g[f"_a{i}"].min() if g is not None else pd.Series([col.min()])
+            )
+        else:
+            parts[f"_x{i}"] = (
+                g[f"_a{i}"].max() if g is not None else pd.Series([col.max()])
+            )
+    block = pd.DataFrame(parts).reset_index()
+    if not gcols:
+        block = block.drop(columns="index", errors="ignore")
+    merged = pd.concat([accs, block], ignore_index=True)
+    g2 = merged.groupby(gcols, sort=False, dropna=False) if gcols else merged
+    out: dict = {}
+    for i, (afn, _arg) in enumerate(parsed):
+        if afn == "count":
+            out[f"_c{i}"] = (
+                g2[f"_c{i}"].sum() if gcols else pd.Series(
+                    [merged[f"_c{i}"].sum()]
+                )
+            )
+        elif afn in ("sum", "avg"):
+            out[f"_s{i}"] = (
+                g2[f"_s{i}"].sum() if gcols else pd.Series(
+                    [merged[f"_s{i}"].sum()]
+                )
+            )
+            if afn == "avg":
+                out[f"_c{i}"] = (
+                    g2[f"_c{i}"].sum() if gcols else pd.Series(
+                        [merged[f"_c{i}"].sum()]
+                    )
+                )
+        elif afn == "min":
+            out[f"_m{i}"] = (
+                g2[f"_m{i}"].min() if gcols else pd.Series(
+                    [merged[f"_m{i}"].min()]
+                )
+            )
+        else:
+            out[f"_x{i}"] = (
+                g2[f"_x{i}"].max() if gcols else pd.Series(
+                    [merged[f"_x{i}"].max()]
+                )
+            )
+    res = pd.DataFrame(out).reset_index()
+    if not gcols:
+        res = res.drop(columns="index", errors="ignore")
+    return res

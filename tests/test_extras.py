@@ -615,19 +615,21 @@ class TestApproxPercentiles:
         relative error of the exact interpolated percentile."""
         from eventflux_engine_spark.plans import QUERIES
 
-        sf = "/root/testdata/sf0.01"
-        exact = {
-            r.event_type: (r.p50, r.p95, r.p99)
-            for r in QUERIES["events_latency_percentiles"].fn(spark, sf).collect()
-        }
-        approx = {
-            r.event_type: (r.p50, r.p95, r.p99)
-            for r in QUERIES["events_percentiles_tdigest"].fn(spark, sf).collect()
-        }
-        assert exact.keys() == approx.keys()
-        for k in exact:
-            for e, a in zip(exact[k], approx[k]):
-                assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (k, e, a)
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            exact = {
+                r.event_type: (r.p50, r.p95, r.p99)
+                for r in QUERIES["events_latency_percentiles"]
+                .fn(spark, sf).collect()
+            }
+            approx = {
+                r.event_type: (r.p50, r.p95, r.p99)
+                for r in QUERIES["events_percentiles_tdigest"]
+                .fn(spark, sf).collect()
+            }
+            assert exact.keys() == approx.keys()
+            for k in exact:
+                for e, a in zip(exact[k], approx[k]):
+                    assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (sf, k, e, a)
 
 
 class TestBandingPlanShape:

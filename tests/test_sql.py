@@ -200,6 +200,43 @@ class TestOrderLimit:
         # tick 2s: a=3 (events t0,t1,t2<=2? t2 is ("b",10) at 2s) b=10
         assert got == [("a", 3), ("b", 10), ("a", 7), ("b", 10)]
 
+    def test_output_snapshot_streaming_matches_batch(self, spark):
+        # r3 verdict #5: SNAPSHOT rate limiting must run LIVE over an
+        # aggregating query (snapshot_output_rate.rs runs over any query);
+        # the stateful streaming op must reproduce the batch restatement
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE STREAM Out (sym VARCHAR, total BIGINT);
+            INSERT INTO Out
+            SELECT sym, SUM(v) AS total FROM S GROUP BY sym
+            OUTPUT SNAPSHOT EVERY 2 SECONDS;
+            """
+        )
+        app.send("S", [("a", 1), ("a", 2), ("b", 10), ("a", 4)])
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out", n_chunks=3)
+        assert streamed == batch
+        assert batch == [("a", 3), ("b", 10), ("a", 7), ("b", 10)]
+
+    def test_output_snapshot_streaming_multi_agg_where(self, spark):
+        # count(*) + avg + min under WHERE, cross-chunk arrivals
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE STREAM Out (sym VARCHAR, n BIGINT, m DOUBLE, lo INT);
+            INSERT INTO Out
+            SELECT sym, COUNT(*) AS n, AVG(v) AS m, MIN(v) AS lo
+            FROM S WHERE v < 100 GROUP BY sym
+            OUTPUT SNAPSHOT EVERY 3 SECONDS;
+            """
+        )
+        app.send("S", [("a", 5), ("b", 500), ("a", 7)])
+        app.send("S", [("b", 2), ("a", 9), ("b", 4)])
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out", n_chunks=4)
+        assert streamed == batch and len(batch) > 0
+
     def test_parser_rejects_snapshot_with_events(self, spark):
         # ≙ output_rate_limit_comprehensive.rs:707
         with pytest.raises(ValueError, match="SNAPSHOT"):
@@ -738,6 +775,31 @@ class TestTableDML:
         assert app.on_demand("UPDATE T SET v = v + 1 WHERE id = 2") == 1
         assert app.on_demand("DELETE FROM T WHERE id = 1") == 1
         assert app.table("T") == [(2, 21), (3, 30)]
+
+    def test_on_demand_update_or_insert(self, spark):
+        # ≙ OnDemandQueryType::UpdateOrInsert (on_demand_query.rs:17-28,
+        # update_or_insert_by :132-150): match → update, miss → insert one
+        # row built from the SET items
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, v INT);
+            CREATE TABLE T (id INT, v INT);
+            INSERT INTO T SELECT id, v FROM In;
+            """
+        )
+        app.send("In", [(1, 10), (2, 20)])
+        # match: id=2 exists → update in place
+        assert app.on_demand(
+            "UPDATE OR INSERT INTO T SET v = 99 WHERE id = 2"
+        ) == 1
+        assert app.table("T") == [(1, 10), (2, 99)]
+        # miss: id=7 absent → one inserted row from the SET items
+        assert app.on_demand(
+            "UPDATE OR INSERT INTO T SET id = 7, v = 70 WHERE id = 7"
+        ) == 1
+        assert app.table("T") == [(1, 10), (2, 99), (7, 70)]
+        # inserted rows participate in later on-demand queries
+        assert app.on_demand("SELECT v FROM T WHERE id = 7") == [(70,)]
 
     def test_on_demand_without_where_mutates_full_table(self, spark):
         # ADVICE r2 (low): WHERE-less UPDATE/DELETE crashed with an opaque
