@@ -883,6 +883,11 @@ class EventFluxApp:
                 # construction, streaming twin) — each secondary feed gets
                 # its OWN far-future sentinel because the union's watermark
                 # is the MIN across inputs
+                if q.pattern.absent is not None:
+                    raise ValueError(
+                        "absent patterns (NOT ... FOR) run in batch mode "
+                        "only (the reference never implemented them live)"
+                    )
                 p_streams = list(dict.fromkeys(s.stream for s in q.pattern.steps))
                 all_cols: dict[str, str] = {}
                 for s in p_streams:
@@ -911,6 +916,48 @@ class EventFluxApp:
                     ustream = ustream.unionByName(_unify(ps, s))
                 out = self._compile_pattern_stream(q, ustream, watermark)
                 mode = "append"
+            elif q.window is not None and q.window.kind == "sort":
+                # live sort(N, attr) window (sort_window_processor.rs:25):
+                # stateful top-N comparator retention; the sentinel flushes
+                # the FINAL retained set, which the final-state drain
+                # consumes — both the passthrough and aggregate forms
+                from ..streaming import pipelines as P
+
+                w = q.window
+                attr_spec = str(w.params[1]).split()
+                attr = attr_spec[0]
+                asc = not (
+                    len(attr_spec) > 1 and attr_spec[1].lower() == "desc"
+                )
+                src_f = (
+                    stream.filter(
+                        F.expr(q.where) | (F.col("__seq") >= 10**9)
+                    )
+                    if q.where
+                    else stream
+                )
+                retained = P.sort_window_stream(
+                    src_f, int(w.params[0]), attr, asc
+                )
+                keys = [
+                    g.strip() for g in (q.group_by or "").split(",") if g.strip()
+                ]
+                if is_agg:
+                    aggs = [
+                        F.expr(e).alias(a) if a else F.expr(e)
+                        for e, a in q.select_items
+                        if _is_agg_expr(e)
+                    ]
+                    out = P.group_agg_update_stream(retained, keys, aggs).select(
+                        *[F.col(a or e) for e, a in q.select_items]
+                    )
+                    mode = "complete"
+                else:
+                    items = [
+                        f"{e} AS {a}" if a else e for e, a in q.select_items
+                    ]
+                    out = retained.selectExpr(*items, "__seq")
+                    mode = "append"
             elif q.window is not None and is_agg:
                 from ..streaming import pipelines as P
 
@@ -938,6 +985,47 @@ class EventFluxApp:
                     out = P.session_stream(
                         stream, f"{w.params[0]} milliseconds", keys, aggs,
                         ts_col="__ts", watermark=watermark,
+                    )
+                elif w.kind == "cron":
+                    # live cron(expr) window: the deterministic event-time
+                    # restatement of the reference's wall-clock cron ticks
+                    # (window/mod.rs:1742) — each event buckets to the NEXT
+                    # tick of the schedule, computed Catalyst-side against
+                    # the literal tick spine (events past the last tick
+                    # stay buffered/unemitted, as in batch); running
+                    # complete-mode aggregation per bucket
+                    from .cron import Cron
+
+                    cron = Cron(str(w.params[0]))
+                    horizon = _EPOCH + datetime.timedelta(
+                        seconds=self._seq + 61
+                    )
+                    cticks = cron.ticks(_EPOCH, horizon)
+                    if not cticks:
+                        raise ValueError(
+                            f"cron {w.params[0]!r} fires nowhere in the "
+                            "app horizon"
+                        )
+                    ticks_us = [
+                        int(
+                            t.replace(
+                                tzinfo=datetime.timezone.utc
+                            ).timestamp() * 1_000_000
+                        )
+                        for t in cticks
+                    ]
+                    ev_us = F.unix_micros(F.col("__ts").cast("timestamp"))
+                    arr = F.array(
+                        *[F.lit(t).cast("bigint") for t in ticks_us]
+                    )
+                    bucket = F.array_min(
+                        F.filter(arr, lambda t: t >= ev_us)
+                    )
+                    out = (
+                        stream.withColumn("__cron_bucket", bucket)
+                        .filter(F.col("__cron_bucket").isNotNull())
+                        .groupBy("__cron_bucket", *keys)
+                        .agg(*aggs)
                     )
                 elif w.kind == "lengthBatch":
                     # tumbling count window as a stateful op: emit + reset
@@ -1024,7 +1112,10 @@ class EventFluxApp:
                     out = out.select(*(keys + [a for a in
                         [c for c in out.columns if c not in keys
                          and not c.startswith(("window_", "session_", "__"))]]))
-                mode = "append"
+                # cron buckets re-aggregate as events arrive (no watermark
+                # closes them) → complete-mode final state, like the
+                # non-windowed running aggregation
+                mode = "complete" if w.kind == "cron" else "append"
             elif not is_agg:
                 stream_partners = [
                     j for j in q.joins if not self.streams[j[1]].is_table
@@ -1437,6 +1528,93 @@ class EventFluxApp:
             F.col("tick").cast("timestamp").alias("__ts"),
         )
 
+    def _run_absent_pattern(self, q: QueryDef, stack: frozenset) -> DataFrame:
+        """``PATTERN (e1=S[cond] -> NOT S2[cond2] FOR d)``: emit each
+        trigger event with NO matching absent-stream event in
+        ``(trigger.ts, trigger.ts + d]``. The reference only DESIGNED this
+        (``PATTERN_PROCESSING.md:34-38`` — "NOT A FOR duration, requires
+        TimerWheel"); the execution is ``cep.batch.match_absent_batch``'s
+        single-exchange vectorized probe."""
+        p: PatternDef = q.pattern
+        if len(p.steps) != 1:
+            raise ValueError(
+                "absent patterns support one trigger step: "
+                "PATTERN (e1=S[cond] -> NOT S2[cond] FOR d)"
+            )
+        from ..cep.batch import match_absent_batch
+
+        trig = p.steps[0]
+        ab_stream, ab_cond, for_ms = p.absent
+        streams = [trig.stream, ab_stream]
+        all_cols: dict[str, str] = {}
+        for s in dict.fromkeys(streams):
+            for c, t in self.streams[s].columns:
+                if c in all_cols and all_cols[c] != t:
+                    raise ValueError(
+                        f"column {c} type conflict across pattern streams"
+                    )
+                all_cols[c] = t
+        union = None
+        for s in dict.fromkeys(streams):
+            df = self.stream_df(s, stack)
+            have = {x for x, _ in self.streams[s].columns}
+            proj = [F.lit(s).alias("__src")]
+            proj += [
+                (F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+                for c, t in all_cols.items()
+            ]
+            proj += [F.col("__seq"), F.col("__ts")]
+            part = df.select(*proj)
+            union = part if union is None else union.unionByName(part)
+
+        if q.partition_keys:
+            key_cols = set(q.partition_keys.values())
+            if len(key_cols) != 1:
+                raise ValueError(
+                    "pattern PARTITION keys must share one column name"
+                )
+            key_expr = F.col(next(iter(key_cols))).cast("string")
+        else:
+            key_expr = F.lit("__global__")
+        trig_flag = F.col("__src") == trig.stream
+        if trig.condition:
+            trig_flag = trig_flag & F.expr(trig.condition)
+        ab_flag = F.col("__src") == ab_stream
+        if ab_cond:
+            ab_flag = ab_flag & F.expr(ab_cond)
+        union = (
+            union.withColumn("conv_id", key_expr)
+            .withColumn("turn_idx", F.col("__seq").cast("int"))
+            .withColumn("ts", F.col("__ts"))
+            .withColumn("__is_trig", trig_flag)
+            .withColumn("__is_abs", ab_flag)
+        )
+
+        select_plan, referenced, agg_emits, index_emits = _pattern_select_plan(
+            q.select_items, p.steps
+        )
+        if any(agg_emits.values()) or any(index_emits.values()):
+            raise ValueError(
+                "absent patterns support plain e1.col select items"
+            )
+        emit = tuple(sorted({"turn_idx", *referenced[trig.alias]}))
+        out = match_absent_batch(
+            union, "__is_trig", "__is_abs",
+            pd.Timedelta(milliseconds=for_ms),
+            order_cols=("ts", "turn_idx"), emit_cols=emit,
+        )
+        # the matcher emits trigger columns under their plain names; the
+        # select plan expects alias-qualified ones
+        for c in emit:
+            out = out.withColumnRenamed(c, f"{trig.alias}_{c}")
+        out = out.withColumnRenamed("ts", f"{trig.alias}_ts")
+        out_cols = [F.col(src).alias(o) for src, o in select_plan]
+        return out.select(
+            *out_cols,
+            F.col(f"{trig.alias}_turn_idx").cast("bigint").alias("__seq"),
+            F.col(f"{trig.alias}_ts").alias("__ts"),
+        )
+
     def _register(self, name: str, stack: frozenset) -> None:
         self.stream_df(name, stack).createOrReplaceTempView(name)
 
@@ -1722,6 +1900,8 @@ class EventFluxApp:
 
     def _run_pattern_query(self, q: QueryDef, stack: frozenset) -> DataFrame:
         p: PatternDef = q.pattern
+        if p.absent is not None:
+            return self._run_absent_pattern(q, stack)
         stream_names = [s.stream for s in p.steps]
         all_cols: dict[str, str] = {}
         for s in dict.fromkeys(stream_names):

@@ -261,6 +261,10 @@ class PatternDef:
     steps: list[PatternStepDef]
     every: bool = False
     within_ms: Optional[int] = None
+    #: trailing absent step ``-> NOT Stream[cond] FOR d``: (stream, cond,
+    #: for_ms). Design-only in the reference (PATTERN_PROCESSING.md:34-38
+    #: "NOT A FOR duration"); we execute it (cep/nfa.match_absent_block).
+    absent: Optional[tuple] = None
 
 
 @dataclass
@@ -601,9 +605,22 @@ def _parse_pattern(body: str) -> PatternDef:
         body = body[: wm.start()].strip()
     body = _strip_outer_parens(body)
 
+    parts = [p.strip() for p in re.split(r"->", body)]
+    absent = None
+    am = re.match(
+        r"NOT\s+(\w+)\s*(\[(.*)\])?\s+FOR\s+(.+)$", parts[-1],
+        re.IGNORECASE | re.DOTALL,
+    )
+    if am:
+        # trailing absence: NOT Stream[cond] FOR d (reference design
+        # spelling, PATTERN_PROCESSING.md:36)
+        absent = (am.group(1), am.group(3), parse_time_ms(am.group(4)))
+        parts = parts[:-1]
+        if not parts:
+            raise ValueError("absent pattern needs a trigger step before NOT")
+
     steps = []
-    for part in re.split(r"->", body):
-        part = part.strip()
+    for part in parts:
         sm = re.match(
             r"(\w+)\s*=\s*(\w+)\s*(\[(.*)\])?\s*(\{\s*(\d+)\s*(?:,\s*(\d+))?\s*\})?\s*$",
             part,
@@ -615,4 +632,4 @@ def _parse_pattern(body: str) -> PatternDef:
         min_c = int(mn) if mn else 1
         max_c = int(mx) if mx else (int(mn) if mn else 1)
         steps.append(PatternStepDef(alias, stream, cond, min_c, max_c))
-    return PatternDef(steps, every=every, within_ms=within_ms)
+    return PatternDef(steps, every=every, within_ms=within_ms, absent=absent)

@@ -308,3 +308,54 @@ def length_batch_stream(
             proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def sort_window_stream(
+    df: DataFrame,
+    n: int,
+    attr: str,
+    ascending: bool,
+    flush_seq: int = 10**9,
+) -> DataFrame:
+    """Live ``sort(N, attr)`` window — the streaming twin of the batch
+    comparator-retention plan (reference ``sort_window_processor.rs:25``:
+    keep the N best events under the comparator, evict the worst on each
+    arrival). State carries the retained top-N rows across micro-batches;
+    the feed's far-future sentinel flushes the FINAL retained set, which is
+    what ``run()``'s final-state contract drains (per-arrival Expired
+    emission is not part of the gated surface).
+
+    Retention is a vectorized sort+head per micro-batch over at most
+    N + batch rows — never the full history."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .ratelimit import _pack, _unpack
+
+    cols = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def proc(key, pdfs, state):
+        blob = state.get[0] if state.exists else ""
+        rows = pd.concat(list(pdfs)).drop(columns="__k")
+        proto = rows.iloc[0:0]
+        real = rows[rows["__seq"] < flush_seq]
+        flush = bool((rows["__seq"] >= flush_seq).any())
+        pool = pd.concat([_unpack(blob, proto), real], ignore_index=True)
+        retained = pool.sort_values(
+            [attr, "__seq"], ascending=[ascending, True], kind="stable"
+        ).head(n)
+        if flush and len(retained):
+            yield retained
+        state.update((_pack(retained),))
+
+    return (
+        df.withColumn("__k", F.lit(0))
+        .groupBy("__k")
+        .applyInPandasWithState(
+            proc, out_schema, "buf string", "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
