@@ -818,8 +818,11 @@ def q_cep_fused_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS sum_base_price,
+           round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))
+                          * cast(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
@@ -836,9 +839,19 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            # money sums aggregate EXACTLY in decimal (2dp prices, 4dp
+            # products) then cast to double: float sums drift past the
+            # round(4) hash at ~6M rows/group (caught by the sf1.0 scale
+            # run; invisible at the driver's sf0.01)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double"), 4
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                ).cast("double"), 4
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
@@ -849,7 +862,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_customers_by_revenue",
     """
-    SELECT c.c_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT c.c_name,
+           round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+                          * cast(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -870,8 +886,13 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name")
         .agg(
+            # exact decimal money sum (see tpch_q1): float drift past the
+            # round(2) hash shows up at sf1.0 row counts
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                ).cast("double"), 2
             ).alias("revenue"),
             F.count_distinct("o_orderkey").alias("n_orders"),
         )
