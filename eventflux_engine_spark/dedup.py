@@ -319,13 +319,27 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         "doc_id", F.explode(F.array(*entries)).alias("__bb")
     ).select("doc_id", F.col("__bb.band").alias("band"), F.col("__bb.bkey").alias("bkey"))
+    # the bucket table is TINY (docs × bands narrow rows) but feeds up to
+    # three plan arms (both self-join sides + the cap's key set), and
+    # Catalyst replicates the whole shingle→md5→signature pipeline into
+    # every arm — materialize it once (the classic fan-out point a real
+    # pipeline would persist); measured: halves the md5 work even for the
+    # plain 2-arm self-join
+    buckets = buckets.localCheckpoint(eager=False)
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        sz = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
-        buckets = buckets.withColumn("__bsz", sz).filter(
-            F.col("__bsz") <= max_bucket
-        ).drop("__bsz")
+        # oversized buckets are by definition FEW — find them with a
+        # map-side-combined count agg and exclude via broadcast anti-join
+        # (a bucket-size window would sort every bucket row per join side;
+        # this touches each row once and ships only the bad keys)
+        big = (
+            buckets.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > max_bucket)
+            .select("band", "bkey")
+        )
+        buckets = buckets.join(
+            F.broadcast(big), ["band", "bkey"], "left_anti"
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -195,11 +195,22 @@ def brute_force_topk(
 
 def hyperplanes(n: int = N_HYPERPLANES, dim: int = DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded, engine-agnostic
-    literals): component h[j][d] = sin(1 + j*dim + d), a fixed quasi-random
-    sequence both engines can inline."""
-    return [
-        [math.sin(1 + j * dim + d) for d in range(dim)] for j in range(n)
-    ]
+    literals — the plane components are Python-computed constants inlined
+    into both engines, so any stable generator qualifies).
+
+    Per-plane seeded gaussians (PCG64, seed 1000003+j) so plane j is
+    independent of how many planes a caller asks for. The previous
+    ``sin(1 + j*dim + d)`` sequence was PAIRWISE CORRELATED across planes
+    (corr(sin(x), sin(x + dim)) = cos(dim mod 2pi) ~ -0.86 at dim=64 →
+    component correlation ~-0.43): correlated sign bits collapse most of
+    the corpus into a few buckets per band, which is why widening bands
+    never reduced candidate volume (36.5M pairs where balanced buckets
+    give ~1.4M at sf1.0) — the skew was in the PLANES, not the data."""
+    out = []
+    for j in range(n):
+        rng = np.random.default_rng(1000003 + j)
+        out.append([float(v) for v in rng.standard_normal(dim)])
+    return out
 
 
 def lsh_bucket(emb_col: Column, n: int = N_HYPERPLANES, dim: int = DIM) -> Column:
@@ -282,6 +293,25 @@ def qlsh_bucket_sql(
 # little against correlated mass.
 NEAR_DUP_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2, 3), (4, 5, 6, 7))
 
+# Scale path: 16 buckets/band is right for thousands of vectors but goes
+# quadratic when the corpus grows (measured: 10x rows -> 33x wall at sf1.0,
+# ~44M candidate pairs from ~1.7k-vector buckets). Banding must widen with
+# corpus size: 4 bands x 10 planes = 1024 buckets/band keeps per-bucket
+# mass ~n/1024 (sf1.0: ~1.4M candidates, was ~44M) while recall at
+# cos>=0.99 IMPROVES (1-(1-p^10)^4 = 0.981 vs 1-(1-p^4)^2 = 0.972 at
+# p=0.955). The layout switches on the corpus COUNT (deterministic from
+# the data, mirrored by a count-gated union in the oracle SQL) so every
+# sf stays value-gated.
+NEAR_DUP_BANDS_WIDE: tuple[tuple[int, ...], ...] = (
+    tuple(range(0, 10)), tuple(range(10, 20)),
+    tuple(range(20, 30)), tuple(range(30, 40)),
+)
+NEAR_DUP_ADAPT_N = 10_000
+
+
+def near_dup_bands_for(n: int) -> tuple[tuple[int, ...], ...]:
+    return NEAR_DUP_BANDS if n < NEAR_DUP_ADAPT_N else NEAR_DUP_BANDS_WIDE
+
 
 def quantize_with_norm(
     df: DataFrame,
@@ -322,7 +352,7 @@ def _qdot_arrays(qa: Column, qb: Column) -> Column:
 def embedding_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.99,
-    bands: tuple[tuple[int, ...], ...] = NEAR_DUP_BANDS,
+    bands: tuple[tuple[int, ...], ...] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane LSH — the 100 TB
     plan: candidate generation is an EQUI-join on (band, bucket) (never a
@@ -336,7 +366,14 @@ def embedding_near_dup_lsh(
     pairs are DEDUPED across bands before verification, so the expensive
     64-element dot fold runs exactly once per unique candidate pair (the
     standard candidates→verify join of a production dedup pipeline).
+
+    ``bands=None`` (default) picks the layout from the corpus size
+    (:func:`near_dup_bands_for`): narrow 2x4 below
+    ``NEAR_DUP_ADAPT_N`` vectors, wide 3x8 above — per-bucket mass stays
+    bounded as the corpus grows, recall ~unchanged at the 0.99 threshold.
     """
+    if bands is None:
+        bands = near_dup_bands_for(emb.count())
     dim = len(hyperplanes(1)[0])
     qarr = F.transform(
         F.col("embedding"), lambda x: _quant(x)
@@ -394,15 +431,35 @@ def embedding_near_dup_lsh(
 def embedding_near_dup_lsh_sql(
     emb_cte: str = "embeddings_aug",
     threshold: float = 0.99,
-    bands: tuple[tuple[int, ...], ...] = NEAR_DUP_BANDS,
+    bands: tuple[tuple[int, ...], ...] | None = None,
 ) -> str:
     """DuckDB twin of :func:`embedding_near_dup_lsh` (same bands, same
-    quantized buckets, same quantized cosine)."""
-    selects = [
-        f"SELECT {bi} AS band, {qlsh_bucket_sql('embedding', plane_ids)} AS bkey,"
-        f" vec_id, embedding FROM {emb_cte}"
-        for bi, plane_ids in enumerate(bands)
-    ]
+    quantized buckets, same quantized cosine). ``bands=None`` mirrors the
+    size-adaptive layout with a count-gated union: both layouts are in the
+    SQL, a scalar-subquery predicate on count(*) activates exactly one —
+    so ONE static oracle string stays value-exact at every sf."""
+    if bands is not None:
+        selects = [
+            f"SELECT {bi} AS band, {qlsh_bucket_sql('embedding', plane_ids)} AS bkey,"
+            f" vec_id, embedding FROM {emb_cte}"
+            for bi, plane_ids in enumerate(bands)
+        ]
+    else:
+        guard_narrow = (
+            f"(SELECT count(*) FROM {emb_cte}) < {NEAR_DUP_ADAPT_N}"
+        )
+        guard_wide = (
+            f"(SELECT count(*) FROM {emb_cte}) >= {NEAR_DUP_ADAPT_N}"
+        )
+        selects = [
+            f"SELECT {bi} AS band, {qlsh_bucket_sql('embedding', plane_ids)} AS bkey,"
+            f" vec_id, embedding FROM {emb_cte} WHERE {guard_narrow}"
+            for bi, plane_ids in enumerate(NEAR_DUP_BANDS)
+        ] + [
+            f"SELECT {bi} AS band, {qlsh_bucket_sql('embedding', plane_ids)} AS bkey,"
+            f" vec_id, embedding FROM {emb_cte} WHERE {guard_wide}"
+            for bi, plane_ids in enumerate(NEAR_DUP_BANDS_WIDE)
+        ]
     banded = "\nUNION ALL\n".join(selects)
     qcos = qcosine_sql("a.embedding", "b.embedding")
     return f"""
