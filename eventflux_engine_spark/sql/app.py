@@ -68,6 +68,23 @@ _EREF_RE = re.compile(r"\b(e\d+)\.(\w+)")
 _EPOCH = datetime.datetime(2024, 1, 1)
 
 
+def _sql_literal(text: str):
+    """Evaluate a SQL literal from an on-demand INSERT VALUES list."""
+    t = text.strip()
+    if re.fullmatch(r"'(?:[^']|'')*'", t):
+        return t[1:-1].replace("''", "'")
+    u = t.upper()
+    if u == "NULL":
+        return None
+    if u in ("TRUE", "FALSE"):
+        return u == "TRUE"
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t)
+    if re.fullmatch(r"[+-]?\d*\.\d+(?:[eE][+-]?\d+)?", t):
+        return float(t)
+    raise ValueError(f"unsupported literal in on-demand INSERT: {text!r}")
+
+
 class EventFluxApp:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -515,6 +532,39 @@ class EventFluxApp:
         upsert = bool(
             re.match(r"UPDATE\s+OR\s+INSERT\b", stmt, re.IGNORECASE)
         )
+        if head == "INSERT" and not upsert:
+            # OnDemandQueryType::Insert: append one literal row to the store
+            m = re.match(
+                r"INSERT\s+INTO\s+(\w+)\s+VALUES\s*\((.*)\)\s*$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if m is None:
+                raise ValueError(
+                    "on-demand INSERT must be 'INSERT INTO <table> "
+                    f"VALUES (v, ...)': {stmt[:80]!r}"
+                )
+            table, vals_text = m.groups()
+            if table not in self.streams:
+                raise ValueError(f"unknown table {table!r} in on-demand statement")
+            from .compiler import _split_top
+
+            cols = [c for c, _ in self.streams[table].columns]
+            vals = [v.strip() for v in _split_top(vals_text)]
+            if len(vals) != len(cols):
+                raise ValueError(
+                    f"{table} expects {len(cols)} values, got {len(vals)}"
+                )
+            row = {c: _sql_literal(v) for c, v in zip(cols, vals)}
+            state = self._table_state(table)
+            row.update(
+                {
+                    "__seq": self._seq,
+                    "__ts": _EPOCH + datetime.timedelta(seconds=self._seq),
+                }
+            )
+            self._seq += 1
+            state.append(row)
+            return 1
         if upsert:
             m = re.match(
                 r"UPDATE\s+OR\s+INSERT\s+INTO\s+(\w+)\s+SET\s+(.*?)"
@@ -969,7 +1019,14 @@ class EventFluxApp:
                 ]
                 keys = [g.strip() for g in (q.group_by or "").split(",") if g.strip()]
                 if q.where:
-                    stream = stream.filter(F.expr(q.where))
+                    # the flush sentinel must SURVIVE the predicate (its
+                    # neutral values need not satisfy it) or the watermark
+                    # never advances and no window ever emits; the
+                    # sentinel's own far-future window never closes, so it
+                    # stays invisible in the output
+                    stream = stream.filter(
+                        F.expr(q.where) | (F.col("__seq") >= 10**9)
+                    )
                 if w.kind == "tumbling":
                     out = P.tumbling_stream(
                         stream, f"{w.params[0]} milliseconds", keys, aggs,

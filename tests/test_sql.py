@@ -200,6 +200,24 @@ class TestOrderLimit:
         # tick 2s: a=3 (events t0,t1,t2<=2? t2 is ("b",10) at 2s) b=10
         assert got == [("a", 3), ("b", 10), ("a", 7), ("b", 10)]
 
+    def test_windowed_agg_streaming_where_drops_sentinel_values(self, spark):
+        # regression: a WHERE the flush sentinel's neutral values fail
+        # (v > 0 vs sentinel v = 0) must not strand the watermark — the
+        # windows still flush and streaming matches batch
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE STREAM Out (sym VARCHAR, total BIGINT);
+            INSERT INTO Out
+            SELECT sym, SUM(v) AS total FROM S WINDOW('tumbling', 2 seconds)
+            WHERE v > 0 GROUP BY sym;
+            """
+        )
+        app.send("S", [("a", 1), ("a", 2), ("b", 3), ("a", 4)])
+        batch = sorted(app.run("Out"))
+        streamed = sorted(app.run_streaming("Out"))
+        assert streamed == batch == [("a", 3), ("a", 4), ("b", 3)]
+
     def test_output_snapshot_streaming_matches_batch(self, spark):
         # r3 verdict #5: SNAPSHOT rate limiting must run LIVE over an
         # aggregating query (snapshot_output_rate.rs runs over any query);
@@ -857,6 +875,25 @@ class TestTableDML:
         assert app.table("T") == [(1, 10), (2, 99), (7, 70)]
         # inserted rows participate in later on-demand queries
         assert app.on_demand("SELECT v FROM T WHERE id = 7") == [(70,)]
+
+    def test_on_demand_insert(self, spark):
+        # ≙ OnDemandQueryType::Insert (on_demand_query.rs:17-28): append a
+        # literal row to the store outside any stream query
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM In (id INT, v INT);
+            CREATE TABLE T (id INT, v INT);
+            INSERT INTO T SELECT id, v FROM In;
+            """
+        )
+        app.send("In", [(1, 10)])
+        assert app.on_demand("INSERT INTO T VALUES (5, 50)") == 1
+        assert app.table("T") == [(1, 10), (5, 50)]
+        # inserted rows are visible to later on-demand statements
+        assert app.on_demand("UPDATE T SET v = v + 1 WHERE id = 5") == 1
+        assert app.on_demand("SELECT v FROM T WHERE id = 5") == [(51,)]
+        with pytest.raises(ValueError, match="expects 2 values"):
+            app.on_demand("INSERT INTO T VALUES (9)")
 
     def test_on_demand_without_where_mutates_full_table(self, spark):
         # ADVICE r2 (low): WHERE-less UPDATE/DELETE crashed with an opaque
