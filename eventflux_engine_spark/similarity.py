@@ -538,8 +538,15 @@ def kmeans_codebook(
     """
     from pyspark.sql import Window
 
-    v = emb.select(
-        F.col(id_col).alias("__vid"), _as_double(F.col(emb_col)).alias("__e")
+    # normalize ONCE up front: spherical k-means compares by cosine, and
+    # with unit vectors on both sides cosine == dot — the assignment then
+    # pays one O(dim) fold per (vector, centroid) instead of three
+    raw = emb.select(
+        F.col(id_col).alias("__vid"), _as_double(F.col(emb_col)).alias("__r")
+    ).withColumn("__n", norm(F.col("__r")))
+    v = raw.select(
+        "__vid",
+        F.transform("__r", lambda x: x / F.col("__n")).alias("__e"),
     )
     seed_w = Window.orderBy("__h")
     cents = (
@@ -554,7 +561,8 @@ def kmeans_codebook(
         scored = v.crossJoin(F.broadcast(cents))
         best = F.max(
             F.struct(
-                cosine(F.col("__e"), F.col("c_emb")).alias("s"),
+                # both sides unit-norm -> cosine == dot (one fold)
+                dot(F.col("__e"), F.col("c_emb")).alias("s"),
                 (-F.col("c_id")).alias("nc"),
             )
         )
