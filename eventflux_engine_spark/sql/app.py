@@ -966,6 +966,40 @@ class EventFluxApp:
                     ustream = ustream.unionByName(_unify(ps, s))
                 out = self._compile_pattern_stream(q, ustream, watermark)
                 mode = "append"
+            elif q.window is not None and q.window.kind == "time":
+                # live time(d) window: stateful trailing-d buffer on the
+                # app's logical clock; sentinel flushes the final retained
+                # set (same final-state contract as the batch restatement)
+                from ..streaming import pipelines as P
+
+                w = q.window
+                src_f = (
+                    stream.filter(
+                        F.expr(q.where) | (F.col("__seq") >= 10**9)
+                    )
+                    if q.where
+                    else stream
+                )
+                retained = P.time_window_stream(src_f, int(w.params[0]))
+                keys = [
+                    g.strip() for g in (q.group_by or "").split(",") if g.strip()
+                ]
+                if is_agg:
+                    aggs = [
+                        F.expr(e).alias(a) if a else F.expr(e)
+                        for e, a in q.select_items
+                        if _is_agg_expr(e)
+                    ]
+                    out = P.group_agg_update_stream(retained, keys, aggs).select(
+                        *[F.col(a or e) for e, a in q.select_items]
+                    )
+                    mode = "complete"
+                else:
+                    items = [
+                        f"{e} AS {a}" if a else e for e, a in q.select_items
+                    ]
+                    out = retained.selectExpr(*items, "__seq")
+                    mode = "append"
             elif q.window is not None and q.window.kind == "sort":
                 # live sort(N, attr) window (sort_window_processor.rs:25):
                 # stateful top-N comparator retention; the sentinel flushes
@@ -1767,6 +1801,23 @@ class EventFluxApp:
                     f"(SELECT * FROM (SELECT *, row_number() OVER ({part}"
                     f"ORDER BY {attr} {direction}, __seq) AS __rk"
                     f" FROM {q.source}{where}) WHERE __rk <= {n})"
+                )
+                where = ""
+                win = None
+            elif w.kind == "time":
+                # time(d) sliding window (reference window/mod.rs time
+                # window: events expire d after arrival). On the app's
+                # deterministic logical clock the FINAL retained set — what
+                # run()'s final-state drain sees, same contract as
+                # WINDOW('length') — is every event within d of the LAST
+                # arrival; a scalar-subquery max anchors the bound
+                d_ms = w.params[0]
+                src = (
+                    f"(SELECT * FROM {q.source}{where}"
+                    + (" AND " if where else " WHERE ")
+                    + f"unix_micros(cast(__ts AS timestamp_ltz)) > "
+                    f"(SELECT max(unix_micros(cast(__ts AS timestamp_ltz)))"
+                    f" FROM {q.source}{where}) - {d_ms * 1000})"
                 )
                 where = ""
                 win = None

@@ -359,3 +359,51 @@ def sort_window_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def time_window_stream(
+    df: DataFrame,
+    d_ms: int,
+    flush_seq: int = 10**9,
+) -> DataFrame:
+    """Live ``time(d)`` window on the app's logical clock — the streaming
+    twin of the SQL layer's batch restatement (final retained set = events
+    within d of the last arrival; the reference's wall-clock expiry
+    restated on event time, SURVEY §7.4 stance). State carries the
+    trailing-d buffer plus the high-water arrival time; the sentinel
+    flushes the final retained set for the final-state drain. Retention is
+    a vectorized timestamp filter per micro-batch; state is bounded by the
+    events inside one d-interval."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .ratelimit import _pack, _unpack
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def proc(key, pdfs, state):
+        blob, hw = (state.get[0], int(state.get[1])) if state.exists else ("", -(1 << 62))
+        rows = pd.concat(list(pdfs)).drop(columns="__k")
+        proto = rows.iloc[0:0]
+        real = rows[rows["__seq"] < flush_seq]
+        flush = bool((rows["__seq"] >= flush_seq).any())
+        pool = pd.concat([_unpack(blob, proto), real], ignore_index=True)
+        if len(real):
+            hw = max(hw, int(real["__ts"].astype("int64").max() // 1_000_000))
+        if len(pool):
+            ts_ms = pool["__ts"].astype("int64") // 1_000_000
+            pool = pool[ts_ms > hw - d_ms]
+        if flush and len(pool):
+            yield pool
+        state.update((_pack(pool), hw))
+
+    return (
+        df.withColumn("__k", F.lit(0))
+        .groupBy("__k")
+        .applyInPandasWithState(
+            proc, out_schema, "buf string, hw bigint", "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

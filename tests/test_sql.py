@@ -2041,6 +2041,71 @@ class TestLengthBatchWindowSQL:
         assert sorted(app.run("Out")) == sorted(app.run_streaming("Out")) == [(3.0,), (7.0,)]
 
 
+class TestTimeWindowSQL:
+    def test_time_window_retains_trailing_interval(self, spark):
+        """WINDOW('time', d): events expire d after arrival (reference time
+        window); on the app's 1 s/event logical clock the final retained
+        set is every event within d of the last arrival."""
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (total BIGINT, n BIGINT);
+            INSERT INTO Out
+            SELECT SUM(v) AS total, COUNT(*) AS n
+            FROM S WINDOW('time', 3 seconds);
+            """
+        )
+        # ts = 0,1,2,3,4 s; retained: ts > 4-3=1 -> events at 2,3,4
+        app.send("S", [(1,), (2,), (4,), (8,), (16,)])
+        assert app.run("Out") == [(28, 3)]
+
+    def test_time_window_passthrough_with_where(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Out
+            SELECT v FROM S WINDOW('time', 2 seconds) WHERE v != 8;
+            """
+        )
+        # WHERE applies inside the window's view of the stream; the max
+        # anchor is the last SURVIVING event (v=16 at t=4); retained:
+        # ts > 4-2=2 -> v=16 only (v=8 filtered, v=4 at t=2 expired)
+        app.send("S", [(1,), (2,), (4,), (8,), (16,)])
+        assert app.run("Out") == [(16,)]
+
+    def test_time_window_streaming_matches_batch(self, spark):
+        # live time(d): stateful trailing-d buffer, cross-chunk expiry
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (total BIGINT, n BIGINT);
+            INSERT INTO Out
+            SELECT SUM(v) AS total, COUNT(*) AS n
+            FROM S WINDOW('time', 3 seconds);
+            """
+        )
+        app.send("S", [(1,), (2,)])
+        app.send("S", [(4,), (8,), (16,)])
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out", n_chunks=3)
+        assert streamed == batch == [(28, 3)]
+
+    def test_time_window_streaming_passthrough_where(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (v INT);
+            INSERT INTO Out
+            SELECT v FROM S WINDOW('time', 2 seconds) WHERE v != 8;
+            """
+        )
+        app.send("S", [(1,), (2,), (4,), (8,), (16,)])
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out", n_chunks=3)
+        assert streamed == batch == [(16,)]
+
+
 class TestSortWindowSQL:
     def test_sort_window_retention_and_agg(self, spark):
         """WINDOW('sort', 2, 'price') keeps the 2 smallest prices
