@@ -1741,6 +1741,27 @@ class EventFluxApp:
                 )
             elif w.kind == "session":
                 win = f"session_window(__ts, '{w.params[0]} milliseconds')"
+            elif w.kind == "externalTimeBatch":
+                # externalTimeBatch(ts_attr, d) (reference window/mod.rs
+                # externalTimeBatch): tumbling batches keyed on a DATA
+                # timestamp column instead of arrival time
+                attr, d = w.params[0], w.params[1]
+                win = f"window(cast({attr} AS timestamp), '{d} milliseconds')"
+            elif w.kind == "externalTime":
+                # externalTime(ts_attr, d): sliding expiry driven by the
+                # data timestamp — final retained set = events within d of
+                # the max surviving data time (same restatement as
+                # WINDOW('time') but on the declared attribute)
+                attr, d_ms = w.params[0], w.params[1]
+                src = (
+                    f"(SELECT * FROM {q.source}{where}"
+                    + (" AND " if where else " WHERE ")
+                    + f"unix_micros(cast({attr} AS timestamp_ltz)) > "
+                    f"(SELECT max(unix_micros(cast({attr} AS timestamp_ltz)))"
+                    f" FROM {q.source}{where}) - {d_ms * 1000})"
+                )
+                where = ""
+                win = None
             elif w.kind == "cron":
                 # cron window (window/mod.rs:1742): the buffered batch emits
                 # at every cron tick — batch restatement: each event belongs

@@ -2106,6 +2106,57 @@ class TestTimeWindowSQL:
         assert streamed == batch == [(16,)]
 
 
+class TestExternalTimeWindowSQL:
+    """externalTime / externalTimeBatch keyed on a DATA timestamp column
+    (reference window/mod.rs external-time windows: expiry follows the
+    event's declared time attribute, not arrival)."""
+
+    def test_external_time_batch_tumbling_on_attr(self, spark):
+        import datetime as dt
+
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (ets TIMESTAMP, v INT);
+            CREATE STREAM Out (total BIGINT);
+            INSERT INTO Out
+            SELECT SUM(v) AS total
+            FROM S WINDOW('externalTimeBatch', 'ets', 10 seconds);
+            """
+        )
+        base = dt.datetime(2024, 6, 1)
+        # data times span two 10s buckets regardless of arrival order
+        app.send("S", [
+            (base + dt.timedelta(seconds=1), 1),
+            (base + dt.timedelta(seconds=12), 8),
+            (base + dt.timedelta(seconds=3), 2),
+            (base + dt.timedelta(seconds=15), 16),
+        ])
+        assert sorted(app.run("Out")) == [(3,), (24,)]
+
+    def test_external_time_trailing_on_attr(self, spark):
+        import datetime as dt
+
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (ets TIMESTAMP, v INT);
+            CREATE STREAM Out (total BIGINT, n BIGINT);
+            INSERT INTO Out
+            SELECT SUM(v) AS total, COUNT(*) AS n
+            FROM S WINDOW('externalTime', 'ets', 5 seconds);
+            """
+        )
+        base = dt.datetime(2024, 6, 1)
+        # max data time = 20s; retained: ets > 15s -> v=16 (ets 17) + v=32
+        # (ets 20); arrival order deliberately scrambled
+        app.send("S", [
+            (base + dt.timedelta(seconds=17), 16),
+            (base + dt.timedelta(seconds=2), 1),
+            (base + dt.timedelta(seconds=20), 32),
+            (base + dt.timedelta(seconds=10), 8),
+        ])
+        assert app.run("Out") == [(48, 2)]
+
+
 class TestSortWindowSQL:
     def test_sort_window_retention_and_agg(self, spark):
         """WINDOW('sort', 2, 'price') keeps the 2 smallest prices
