@@ -243,8 +243,15 @@ def parse_upsert(stmt: str) -> DmlDef:
 
 @dataclass
 class WindowSpec:
-    kind: str  # tumbling | sliding | session | length | lengthBatch
+    kind: str  # tumbling | sliding | session | length | lengthBatch | ...
     params: list
+
+    def __post_init__(self):
+        # reference spelling timeBatch(d) ≡ tumbling on arrival time
+        # (time_batch_window_state_holder.rs); one normalization point so
+        # every batch/streaming branch sees the canonical kind
+        if self.kind == "timeBatch":
+            self.kind = "tumbling"
 
 
 @dataclass

@@ -2106,6 +2106,24 @@ class TestTimeWindowSQL:
         assert streamed == batch == [(16,)]
 
 
+class TestTimeBatchAlias:
+    def test_time_batch_is_tumbling(self, spark):
+        # reference spelling timeBatch(d) ≡ tumbling on arrival time
+        # (time_batch_window_state_holder.rs)
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (v INT);
+            CREATE STREAM Out (total BIGINT);
+            INSERT INTO Out
+            SELECT SUM(v) AS total FROM S WINDOW('timeBatch', 2 seconds);
+            """
+        )
+        app.send("S", [(1,), (2,), (4,), (8,)])
+        batch = sorted(app.run("Out"))
+        streamed = sorted(app.run_streaming("Out"))
+        assert streamed == batch == [(3,), (12,)]  # [0,2)={1,2}, [2,4)={4,8}
+
+
 class TestExternalTimeWindowSQL:
     """externalTime / externalTimeBatch keyed on a DATA timestamp column
     (reference window/mod.rs external-time windows: expiry follows the
