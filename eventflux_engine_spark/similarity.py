@@ -45,6 +45,10 @@ __all__ = [
     "qlsh_bucket_sql",
     "embedding_near_dup_lsh",
     "knn_batch_pandas",
+    "kmeans_codebook_q",
+    "kmeans_codebook_q_sql",
+    "assign_codebook_np",
+    "QKMeansResult",
 ]
 
 
@@ -507,98 +511,244 @@ def knn_batch_pandas(
     )
 
 
-# --- trained IVF codebook: deterministic distributed k-means -----------------
+# --- trained IVF codebook: deterministic QUANTIZED distributed k-means -------
 # The fixed codebook (registry_data._ivf_assign) is "IVF-shaped"; a real
-# 100 TB pipeline TRAINS centroids. Same loop discipline as
-# dedup.dup_clusters: DataFrame aggs only, localCheckpoint per round, the
-# driver never holds a matrix — only the k×dim centroid table travels (as a
-# broadcast), which is what production IVF training ships to executors too.
+# 100 TB pipeline TRAINS centroids. The r4 float version had no bit-exact SQL
+# twin (float sums are partition-order sensitive) and ran a fixed 5 Lloyd
+# rounds; this version does the whole iteration in EXACT integer arithmetic
+# (the qcosine/Q_SCALE discipline), so:
+#
+# - every Lloyd round is reproducible bit-for-bit by an unrolled DuckDB CTE
+#   chain (``kmeans_codebook_q_sql``) → the trained-IVF gate is value-hashed,
+#   not rows-only;
+# - the codebook converges to an exact FIXPOINT (integer centroids stop
+#   changing), detectable in the driver at zero extra cost, and a fixpoint is
+#   safe to early-stop on: update(assign(c)) == c implies every further round
+#   is the identity, so a fixed-round SQL unroll and an early-stopped Spark
+#   loop provably agree.
+#
+# Arithmetic-exactness argument for the numpy assignment kernel: quantized
+# components are |q| <= Q_SCALE·max|x| (~10⁴ here), so every product is
+# <= ~10⁸ and every 64-term dot sum <= ~10¹⁰ — all integers below 2⁵³, which
+# float64 represents exactly regardless of summation order. The trailing
+# sqrt/divide are IEEE correctly-rounded on identical inputs, so numpy, Spark
+# SQL and DuckDB produce the SAME doubles and hence the same argmax (+ ties
+# broken toward the smallest c_id in all three).
+#
+# Scale model: per round, ONE Arrow pass over the (checkpointed, quantized)
+# corpus — a BLAS matmul against the k×dim codebook shipped in the task
+# closure (the same payload a broadcast ships) — emitting k×dim per-batch
+# partial sums; the only shuffle is the tiny (c_id, pos) partial-sum
+# aggregation. The driver holds nothing larger than the codebook itself
+# (k×dim ints — the object IVF training exists to produce).
+
+from typing import NamedTuple
 
 
-def kmeans_codebook(
+class QKMeansResult(NamedTuple):
+    cents: list[tuple[int, list[int]]]  # (c_id, quantized centroid) sorted
+    assigned: DataFrame  # (vec_id, c_id) under the FINAL codebook
+    embq: DataFrame  # quantized corpus (vec_id, qe, qn), localCheckpointed
+    rounds: int  # Lloyd updates actually run (== iters unless converged)
+
+
+def _codebook_arrays(cents: list[tuple[int, list[int]]]):
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.stack([np.asarray(q, dtype=np.float64) for _, q in cents])
+    cn = np.sqrt((C * C).sum(axis=1))
+    return cids, C, cn
+
+
+def assign_codebook_np(
+    embq: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """(vec_id, c_id) nearest-centroid assignment — exact-arithmetic numpy
+    kernel (see module comment), Arrow-batched, no shuffle."""
+    cids, C, cn = _codebook_arrays(cents)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            S = (M @ C.T) / (pdf["qn"].to_numpy()[:, None] * cn[None, :])
+            best = np.argmax(S, axis=1)  # first max == smallest c_id on ties
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "c_id": cids[best]}
+            )
+
+    return embq.mapInPandas(fn, "vec_id long, c_id int")
+
+
+def _partial_sums_np(
+    embq: DataFrame, cents: list[tuple[int, list[int]]], dim: int
+) -> DataFrame:
+    """Per-batch (c_id, pos, s, n) partial sums of member vectors under the
+    given codebook — assignment and map-side combine fused in one pass."""
+    cids, C, cn = _codebook_arrays(cents)
+    k = len(cids)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["qe"].to_numpy())  # int64 (B, dim)
+            S = (M.astype(np.float64) @ C.T) / (
+                pdf["qn"].to_numpy()[:, None] * cn[None, :]
+            )
+            best = np.argmax(S, axis=1)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, best, M)
+            counts = np.bincount(best, minlength=k)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "c_id": np.repeat(cids[nz], dim),
+                    "pos": np.tile(np.arange(1, dim + 1), len(nz)),
+                    "s": sums[nz].ravel(),
+                    "n": np.repeat(counts[nz], dim),
+                }
+            )
+
+    return embq.mapInPandas(fn, "c_id int, pos int, s long, n long")
+
+
+def kmeans_codebook_q(
     emb: DataFrame,
     k: int = 40,
     iters: int = 5,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """Deterministic spherical k-means codebook: (c_id, c_emb) with unit-norm
-    double centroids.
+) -> QKMeansResult:
+    """Deterministic k-means in exact integer arithmetic (cosine assignment,
+    floor-divided integer-mean update), bit-identical to the DuckDB unroll
+    from :func:`kmeans_codebook_q_sql`.
 
-    - init: hash-seeded — the k vectors with the smallest md5(id) form the
-      seed set (uniform pseudo-random yet fully reproducible; no RNG state).
-    - each of the ``iters`` Lloyd rounds is two shuffles: (1) nearest-
-      centroid assignment via broadcast crossJoin + argmax-by-agg (map-side
-      combine collapses each vector's k scores before the exchange — the
-      same no-window shape as `_ivf_assign`), (2) per-dimension mean via
-      posexplode + groupBy(c_id, pos) partial sums. Both scale linearly in
-      rows; only k×dim bytes broadcast per round.
-    - clusters that lose every member keep their previous centroid
-      (coalesce on a left join), so the codebook size is stable.
+    - init: hash-seeded — the k vectors with the smallest md5(id) (uniform
+      pseudo-random yet fully reproducible; no RNG state).
+    - update: centroid[d] = floordiv(sum of member q[d], count) — exact
+      bigint in Spark/DuckDB/Python alike; clusters that lose every member
+      keep their previous centroid, so the codebook size is stable.
+    - early stop: when the integer codebook reaches a fixpoint (safe — see
+      module comment); otherwise runs ``iters`` rounds like the SQL twin.
     """
+    src = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    embq = quantize_with_norm(src).localCheckpoint(eager=True)
+    dim = len(embq.select("qe").first()["qe"])
     from pyspark.sql import Window
 
-    # normalize ONCE up front: spherical k-means compares by cosine, and
-    # with unit vectors on both sides cosine == dot — the assignment then
-    # pays one O(dim) fold per (vector, centroid) instead of three
-    raw = emb.select(
-        F.col(id_col).alias("__vid"), _as_double(F.col(emb_col)).alias("__r")
-    ).withColumn("__n", norm(F.col("__r")))
-    v = raw.select(
-        "__vid",
-        F.transform("__r", lambda x: x / F.col("__n")).alias("__e"),
-    )
     seed_w = Window.orderBy("__h")
-    cents = (
-        v.withColumn("__h", F.md5(F.col("__vid").cast("string")))
+    seed_rows = (
+        embq.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__h")
         .limit(k)
         .withColumn("c_id", F.row_number().over(seed_w) - F.lit(1))
-        .select("c_id", F.col("__e").alias("c_emb"))
-        .localCheckpoint(eager=True)
+        .select("c_id", "qe")
+        .collect()
     )
+    cents = sorted((r["c_id"], list(r["qe"])) for r in seed_rows)
+    rounds = 0
     for _ in range(iters):
-        scored = v.crossJoin(F.broadcast(cents))
-        best = F.max(
-            F.struct(
-                # both sides unit-norm -> cosine == dot (one fold)
-                dot(F.col("__e"), F.col("c_emb")).alias("s"),
-                (-F.col("c_id")).alias("nc"),
-            )
+        part = _partial_sums_np(embq, cents, dim)
+        agg = (
+            part.groupBy("c_id", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )  # k×dim rows — the codebook-sized payload, nothing larger
+        acc: dict[int, list[tuple[int, int, int]]] = {}
+        for r in agg:
+            acc.setdefault(r["c_id"], []).append((r["pos"], r["s"], r["n"]))
+        new = []
+        for c_id, old_q in cents:
+            if c_id in acc:
+                # exact floor division: (s - posmod(s, n)) is divisible by n,
+                # matching DuckDB's `//` and Spark's `div` bit-for-bit
+                q = [
+                    (s - ((s % n + n) % n)) // n
+                    for _, s, n in sorted(acc[c_id])
+                ]
+            else:
+                q = old_q
+            new.append((c_id, q))
+        if new == cents:  # exact integer fixpoint — further rounds identity
+            break
+        cents = new
+        rounds += 1
+    assigned = assign_codebook_np(embq, cents)
+    return QKMeansResult(cents, assigned, embq, rounds)
+
+
+def kmeans_codebook_q_sql(
+    k_sql: str, iters: int = 5, dim: int = DIM, emb_cte: str = "embeddings"
+) -> str:
+    """DuckDB CTE chain mirroring :func:`kmeans_codebook_q` bit-for-bit:
+    ``vqn`` (quantized corpus), ``c0`` (hash-seeded codebook), ``iters``
+    unrolled Lloyd rounds, and ``ivf_assigned`` — the final (vec_id, c_id)
+    assignment. ``k_sql`` is a scalar-subquery SQL string for the codebook
+    size. A fixed unroll equals the early-stopped Spark loop because integer
+    fixpoints make extra rounds identities."""
+    qcos = (
+        f"(cast(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> v.q[i] * c.q[i])) AS DOUBLE) / (v.nrm * c.nrm))"
+    )
+    parts = [
+        f"""
+    vqn AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q,
+             sqrt(cast(list_sum(list_transform(
+               list_transform(embedding,
+                 x -> cast(floor(cast(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)),
+               x -> x * x)) AS DOUBLE)) AS nrm
+      FROM {emb_cte}
+    ), c0 AS (
+      SELECT cast(row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR)))
+                  - 1 AS INTEGER) AS c_id, q, nrm
+      FROM vqn
+      QUALIFY row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR)))
+              <= ({k_sql})
+    )"""
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        parts.append(
+            f"""
+    a{r} AS (
+      SELECT vec_id, c_id FROM (
+        SELECT v.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {qcos} DESC, c.c_id) AS rn
+        FROM vqn v CROSS JOIN c{p} c
+      ) WHERE rn = 1
+    ), s{r} AS (
+      SELECT a.c_id, g.pos, sum(v.q[g.pos]) AS s, count(*) AS n
+      FROM a{r} a JOIN vqn v USING (vec_id)
+      CROSS JOIN generate_series(1, {dim}) AS g(pos)
+      GROUP BY a.c_id, g.pos
+    ), m{r} AS (
+      SELECT c_id,
+             list(cast((s - ((s % n + n) % n)) // n AS BIGINT)
+                  ORDER BY pos) AS q
+      FROM s{r} GROUP BY c_id
+    ), c{r} AS (
+      SELECT p.c_id, coalesce(m.q, p.q) AS q,
+             sqrt(cast(list_sum(list_transform(coalesce(m.q, p.q),
+               x -> x * x)) AS DOUBLE)) AS nrm
+      FROM c{p} p LEFT JOIN m{r} m USING (c_id)
+    )"""
         )
-        assign = (
-            scored.groupBy("__vid")
-            .agg(best.alias("__b"), F.first("__e").alias("__e"))
-            .select((-F.col("__b.nc")).alias("c_id"), "__e")
-        )
-        dims = assign.select(
-            "c_id", F.posexplode("__e").alias("pos", "val")
-        )
-        sums = dims.groupBy("c_id", "pos").agg(
-            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
-        )
-        new = (
-            sums.withColumn("m", F.col("s") / F.col("n"))
-            .groupBy("c_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda st: st["m"],
-                ).alias("__raw")
-            )
-            .withColumn("__n", norm(F.col("__raw")))
-            .select(
-                "c_id",
-                F.transform("__raw", lambda x: x / F.col("__n")).alias(
-                    "c_new"
-                ),
-            )
-        )
-        cents = (
-            cents.join(new, "c_id", "left")
-            .select(
-                "c_id", F.coalesce("c_new", "c_emb").alias("c_emb")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cents
+    parts.append(
+        f"""
+    ivf_assigned AS (
+      SELECT vec_id, c_id FROM (
+        SELECT v.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {qcos} DESC, c.c_id) AS rn
+        FROM vqn v CROSS JOIN c{iters} c
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",".join(parts)

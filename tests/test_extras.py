@@ -660,57 +660,137 @@ class TestBandingPlanShape:
         assert plan.count("Exchange hashpartitioning(doc_id") <= 4
 
 
-class TestTrainedIvf:
-    """VERDICT r3 #4: trained IVF codebook (deterministic distributed
-    k-means) must not lose recall vs the fixed codebook."""
+class TestTrainedIvfClustered:
+    """VERDICT r4 #1: the recall comparison must DISCRIMINATE — on a corpus
+    with planted cluster structure, the trained codebook must strictly beat
+    the untrained seed codebook, and Lloyd must hit its integer fixpoint
+    early."""
 
-    def _recall(self, spark, topk_df, truth):
-        got = {(r["q_id"], r["n_id"]) for r in topk_df.collect()}
-        return len(got & truth) / len(truth)
+    N_CLUSTERS, PER, DIM = 8, 40, 64
 
-    def test_trained_recall_at_least_fixed(self, spark):
-        # sf0.1: both codebooks have 40 cells there, so the probe budget is
-        # equal and the comparison is not dominated by 1-pair noise
-        from eventflux_engine_spark.plans.registry import QUERIES
+    def _corpus(self):
+        import numpy as np
+
+        rows = []
+        for c in range(self.N_CLUSTERS):
+            center = np.random.default_rng(7 + c).standard_normal(self.DIM)
+            center /= np.linalg.norm(center)
+            for i in range(self.PER):
+                noise = np.random.default_rng(9001 + c * 1000 + i)
+                # noise scale: ||noise|| ~ 0.1*sqrt(64) = 0.8 vs unit center
+                # -> in-cluster cosine ~0.8, cross-cluster ~0 (separable but
+                # wide enough that a 2-seeds-in-one-cluster init loses recall)
+                v = center + 0.1 * noise.standard_normal(self.DIM)
+                rows.append((c * self.PER + i, [float(x) for x in v]))
+        return rows
+
+    @staticmethod
+    def _quant(M):
+        import numpy as np
+
+        return np.floor(np.asarray(M, dtype=np.float64) * 10_000)
+
+    def _cos(self, A, B):
+        import numpy as np
+
+        S = A @ B.T
+        na = np.sqrt((A * A).sum(1))[:, None]
+        nb = np.sqrt((B * B).sum(1))[None, :]
+        return S / (na * nb)
+
+    def _truth_and_queries(self, Q):
+        """Exact top-3 per query (one per cluster) over the whole corpus."""
+        import numpy as np
+
+        qids = [c * self.PER for c in range(self.N_CLUSTERS)]
+        S = self._cos(Q[qids], Q)
+        truth = {}
+        for row, qid in enumerate(qids):
+            s = S[row].copy()
+            s[qid] = -np.inf
+            truth[qid] = set(np.argsort(-s)[:3])
+        return qids, truth
+
+    def _probe_recall(self, Q, cell_of, qids, truth):
+        import numpy as np
+
+        hits = tot = 0
+        for qid in qids:
+            cand = np.array(
+                [v for v in range(len(Q)) if cell_of[v] == cell_of[qid] and v != qid]
+            )
+            got = set()
+            if len(cand):
+                s = self._cos(Q[[qid]], Q[cand])[0]
+                got = set(cand[np.argsort(-s)[:3]])
+            hits += len(got & truth[qid])
+            tot += len(truth[qid])
+        return hits / tot
+
+    def test_trained_strictly_beats_seed_codebook(self, spark):
+        import hashlib
+
+        import numpy as np
+
         from eventflux_engine_spark import similarity as SIM
-        from pyspark.sql import functions as F
 
-        sf = "/root/testdata/sf0.1"
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        # brute-force ground truth: top-3 neighbors of queries vec_id < 10
-        q = emb.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qa")
+        rows = self._corpus()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # quantize exactly as the engine does (float32 storage then floor)
+        Q = self._quant(
+            np.stack([np.array(e, dtype=np.float32) for _, e in rows])
         )
-        n = emb.select(
-            F.col("vec_id").alias("n_id"), F.col("embedding").alias("nb")
-        )
-        from pyspark.sql import Window
-
-        rw = Window.partitionBy("q_id").orderBy(
-            F.col("cos").desc(), F.col("n_id")
-        )
-        truth = {
-            (r["q_id"], r["n_id"])
-            for r in q.join(n, F.col("q_id") != F.col("n_id"))
-            .withColumn("cos", SIM.qcosine(F.col("qa"), F.col("nb")))
-            .withColumn("rk", F.row_number().over(rw))
-            .filter(F.col("rk") <= 3)
-            .collect()
+        qids, truth = self._truth_and_queries(Q)
+        res = SIM.kmeans_codebook_q(df, k=self.N_CLUSTERS, iters=5)
+        cell_trained = {
+            r["vec_id"]: r["c_id"] for r in res.assigned.collect()
         }
-        fixed = QUERIES["similarity_ivf_topk"].fn(spark, sf)
-        trained = QUERIES["similarity_ivf_trained"].fn(spark, sf)
-        r_fixed = self._recall(spark, fixed, truth)
-        r_trained = self._recall(spark, trained, truth)
-        assert len(truth) == 30
-        assert r_trained >= r_fixed  # training must not LOSE recall
+        # untrained baseline: the md5-seeded member codebook, assignment in
+        # numpy with the same exact arithmetic
+        seed_ids = sorted(
+            range(len(rows)),
+            key=lambda v: hashlib.md5(str(v).encode()).hexdigest(),
+        )[: self.N_CLUSTERS]
+        S = self._cos(Q, Q[seed_ids])
+        cell_seed = dict(enumerate(np.argmax(S, axis=1)))
+        r_trained = self._probe_recall(Q, cell_trained, qids, truth)
+        r_seed = self._probe_recall(Q, cell_seed, qids, truth)
+        assert r_trained > r_seed  # training must IMPROVE recall (strict)
+        assert r_trained >= 0.9  # and land near the planted structure
 
-    def test_kmeans_deterministic_and_unit_norm(self, spark):
+    def test_kmeans_converges_to_fixpoint_early(self, spark):
         from eventflux_engine_spark import similarity as SIM
-        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            self._corpus(), "vec_id long, embedding array<float>"
+        )
+        res = SIM.kmeans_codebook_q(df, k=self.N_CLUSTERS, iters=10)
+        # planted clusters -> exact integer fixpoint well before the cap
+        assert res.rounds < 10
+
+    def test_kmeans_deterministic(self, spark):
+        from eventflux_engine_spark import similarity as SIM
+
+        df = spark.createDataFrame(
+            self._corpus()[: 3 * self.PER], "vec_id long, embedding array<float>"
+        )
+        a = SIM.kmeans_codebook_q(df, k=4, iters=2)
+        b = SIM.kmeans_codebook_q(df, k=4, iters=2)
+        assert a.cents == b.cents  # exact integer equality, run to run
+
+
+class TestTrainedIvf:
+    """Trained-IVF sanity on the driver corpus. (The r3 random-corpus
+    recall comparison vs the fixed codebook was noise-dominated — VERDICT
+    r4 called it weakly discriminative at 0.267 vs 0.267 with 30 truth
+    pairs; the planted-cluster class above replaced it with a strict
+    trained-beats-seed assertion, and the registry gate itself is now
+    value-hashed against the unrolled DuckDB k-means twin.)"""
+
+    def test_kmeans_codebook_stable_size(self, spark):
+        from eventflux_engine_spark import similarity as SIM
 
         emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-        c1 = SIM.kmeans_codebook(emb, k=8, iters=2)
-        rows = c1.withColumn("n", SIM.norm(F.col("c_emb"))).collect()
-        assert len(rows) == 8
-        for r in rows:
-            assert abs(r["n"] - 1.0) < 1e-9  # spherical: unit centroids
+        res = SIM.kmeans_codebook_q(emb, k=8, iters=2)
+        assert len(res.cents) == 8  # empty clusters keep their centroid
+        assert [c for c, _ in res.cents] == list(range(8))
