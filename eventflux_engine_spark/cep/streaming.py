@@ -138,3 +138,157 @@ def match_pattern_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# -- live absent patterns (NOT A FOR d) --------------------------------------
+
+ABSENT_STATE_SCHEMA = "buffered STRING, pending STRING, absents STRING"
+
+
+def match_absent_stream(
+    df: DataFrame,
+    trigger_flag: str,
+    absent_flag: str,
+    duration,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    emit_cols: tuple[str, ...] = ("turn_idx",),
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming ``NOT A FOR d``: emit each trigger event once the watermark
+    proves NO absent event of its key landed in ``(trig.ts, trig.ts + d]``.
+
+    The reference only DESIGNED this (``PATTERN_PROCESSING.md:34-38`` — "NOT
+    A FOR duration, requires TimerWheel"); the live restatement arms a state
+    timeout at the pending trigger's deadline — the TimerWheel role — while
+    the same finality discipline as :func:`match_pattern_stream` buffers
+    rows until the watermark passes them:
+
+    - a trigger is RESOLVABLE once ``trig.ts + d <= watermark`` (every
+      absent event that could cancel it is final by then);
+    - resolved triggers emit iff no recorded absent ts falls in the window,
+      then leave state; unresolved ones wait, woken by the event-time
+      timeout even if no new data arrives for the key;
+    - recorded absent timestamps are pruned to those that can still cancel
+      a pending trigger, so state is O(pending + in-flight), never history.
+    """
+    duration_ns = int(pd.Timedelta(duration).value)
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    fields = [T.StructField(key_col, by_name[key_col])]
+    fields += [T.StructField(c, by_name[c]) for c in emit_cols]
+    fields.append(T.StructField("ts", T.TimestampType()))
+    out_schema = T.StructType(fields)
+    col_order = [f.name for f in out_schema.fields]
+
+    buffer_cols = sorted(
+        {ts_col, "turn_idx", trigger_flag, absent_flag, *emit_cols} - {key_col}
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buffered_json, pending_json, absents_json = state.get
+            buffered: dict[str, list] = json.loads(buffered_json)
+            pending: list[dict] = json.loads(pending_json)
+            absents: list[int] = json.loads(absents_json)
+        else:
+            buffered = {c: [] for c in buffer_cols}
+            pending, absents = [], []
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for c in buffer_cols:
+                vals = pdf[c]
+                if c == ts_col:
+                    vals = _ts_to_ns(vals).astype("int64")
+                buffered[c].extend(
+                    v.item() if hasattr(v, "item") else v for v in vals
+                )
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
+        ts_vals = buffered[ts_col]
+        ready_idx = [i for i, t in enumerate(ts_vals) if t <= wm_ns]
+        if ready_idx:
+            ready_idx.sort(
+                key=lambda i: (ts_vals[i], buffered["turn_idx"][i])
+            )
+            for i in ready_idx:
+                if buffered[trigger_flag][i]:
+                    pending.append(
+                        {
+                            "ts": ts_vals[i],
+                            **{c: buffered[c][i] for c in emit_cols},
+                        }
+                    )
+                if buffered[absent_flag][i]:
+                    absents.append(ts_vals[i])
+            keep = [i for i, t in enumerate(ts_vals) if t > wm_ns]
+            buffered = {c: [buffered[c][i] for i in keep] for c in buffer_cols}
+
+        out_rows: list[dict] = []
+        still: list[dict] = []
+        for p in pending:  # arrival (ts, turn_idx) order — kept on append
+            if p["ts"] + duration_ns <= wm_ns:
+                if not any(
+                    p["ts"] < a <= p["ts"] + duration_ns for a in absents
+                ):
+                    out_rows.append(p)
+            else:
+                still.append(p)
+        pending = still
+        # an absent ts can only cancel a trigger with trig.ts < a; triggers
+        # not yet pending all have ts > watermark >= every recorded absent,
+        # so absents at or before the earliest pending trigger are dead
+        if pending:
+            floor_ns = min(p["ts"] for p in pending)
+            absents = [a for a in absents if a > floor_ns]
+        else:
+            absents = []
+
+        if not buffered[ts_col] and not pending:
+            state.remove()
+        else:
+            state.update(
+                (json.dumps(buffered), json.dumps(pending), json.dumps(absents))
+            )
+            wake_candidates = []
+            if buffered[ts_col]:
+                wake_candidates.append(min(buffered[ts_col]) // 1_000_000)
+            if pending:
+                # the TimerWheel deadline: first pending trigger expiry
+                wake_candidates.append(
+                    min(p["ts"] + duration_ns for p in pending) // 1_000_000
+                )
+            if wake_candidates:
+                state.setTimeoutTimestamp(max(min(wake_candidates), wm_ms + 1))
+
+        if out_rows:
+            out = pd.DataFrame(
+                [
+                    {
+                        key_col: key[0],
+                        **{c: p[c] for c in emit_cols},
+                        "ts": pd.Timestamp(p["ts"]),
+                    }
+                    for p in out_rows
+                ]
+            )
+            yield out[col_order]
+
+    pruned = (
+        df.select(key_col, *buffer_cols)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
+    )
+    return pruned.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=ABSENT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -742,6 +742,7 @@ class EventFluxApp:
         # row-level (filter/projection) and is applied as a transformation
         # on the SAME streaming DataFrame; only the head stream is fed
         prelude: list[QueryDef] = []
+        agg_stages: list[QueryDef] = []
         head = q.pattern.steps[0].stream if q.pattern else q.source
         while True:
             ups = [u for u in self.queries if u.target == head]
@@ -757,16 +758,45 @@ class EventFluxApp:
                     f"stream {head} is both sent-to and query-fed; streaming "
                     "chains support one producer"
                 )
-            if u.pattern or u.window or u.group_by or u.joins or any(
+            u_agg = bool(u.group_by) or any(
                 _is_agg_expr(e) for e, _ in u.select_items
+            )
+            if u.pattern or u.window or u.joins or (
+                u_agg and u.output_rate is not None
             ):
                 raise ValueError(
                     "streaming chain intermediates must be row-level "
-                    f"filter/projection (stage into {head} is not)"
+                    "filter/projection or a non-windowed GROUP BY "
+                    f"aggregation (stage into {head} is not)"
                 )
+            if u_agg:
+                # ONE aggregating intermediate per chain (stream_junction.rs
+                # chains arbitrary queries; the Spark restatement runs the
+                # running aggregation update-mode in-plan and drains the
+                # final state — so everything downstream must be row-level
+                # and a second aggregation over update-mode re-emissions
+                # would double-count)
+                if agg_stages:
+                    raise ValueError(
+                        "streaming chains support one aggregating "
+                        "intermediate stage"
+                    )
+                agg_stages.append(u)
             prelude.insert(0, u)
             head = u.source
         source = head
+        if agg_stages:
+            terminal_agg = bool(q.group_by) or any(
+                _is_agg_expr(e) for e, _ in q.select_items
+            )
+            if (
+                q.pattern or q.window or q.joins or terminal_agg
+                or q.output_rate is not None
+            ):
+                raise ValueError(
+                    "a streaming chain with an aggregating intermediate "
+                    "needs a row-level terminal query (filter/projection)"
+                )
 
         sd = self.streams[source]
         base = self._base_df(source).toPandas()
@@ -816,20 +846,47 @@ class EventFluxApp:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(feed_dir)
             )
-            # apply chained row-level stages on the same streaming plan —
-            # the junction between stages is an in-plan projection, no
-            # re-materialization (stream_junction.rs fan-through analog)
+            # apply chained stages on the same streaming plan — the junction
+            # between stages is an in-plan projection (stream_junction.rs
+            # fan-through analog); an aggregating stage becomes an in-plan
+            # running aggregation whose update-mode state feeds the rest of
+            # the chain (drained complete — final state == batch replay)
+            chain_agg_applied = False
             for u in prelude:
+                if u in agg_stages:
+                    ukeys = [
+                        g.strip()
+                        for g in (u.group_by or "").split(",")
+                        if g.strip()
+                    ]
+                    uaggs = [
+                        F.expr(e).alias(a) if a else F.expr(e)
+                        for e, a in u.select_items
+                        if _is_agg_expr(e)
+                    ]
+                    # no event-time operator follows (terminal is row-level,
+                    # complete-mode drain) — the sentinel can drop here
+                    s2 = stream.filter(F.col("__seq") < 10**9)
+                    if u.where:
+                        s2 = s2.filter(F.expr(u.where))
+                    stream = s2.groupBy(*ukeys).agg(*uaggs).select(
+                        *[F.col(a or e) for e, a in u.select_items]
+                    )
+                    chain_agg_applied = True
+                    continue
                 s2 = stream
                 if u.where:
-                    # the watermark sentinel must SURVIVE stage predicates or
-                    # downstream event-time operators never flush
+                    # pre-agg: the watermark sentinel must SURVIVE stage
+                    # predicates or downstream event-time operators never
+                    # flush; post-agg the sentinel is already gone
                     s2 = s2.filter(
-                        F.expr(u.where) | (F.col("__seq") >= 10**9)
+                        F.expr(u.where)
+                        if chain_agg_applied
+                        else F.expr(u.where) | (F.col("__seq") >= 10**9)
                     )
                 stream = s2.selectExpr(
                     *[f"{e} AS {a}" if a else e for e, a in u.select_items],
-                    "__seq", "__ts",
+                    *([] if chain_agg_applied else ["__seq", "__ts"]),
                 )
 
             name = f"__sqlstream_{target.lower()}"
@@ -847,15 +904,29 @@ class EventFluxApp:
                     "FIRST/LAST/ALL EVERY n EVENTS / d TIME queries and "
                     "OUTPUT SNAPSHOT over aggregating queries"
                 )
-            if snapshot:
+            if agg_stages:
+                # terminal consumer of an aggregating intermediate: plain
+                # filter/projection over the running aggregation's state;
+                # complete-mode drain returns the FINAL state — exactly what
+                # batch run() computes for agg -> INSERT INTO S -> row-level
+                out = stream
+                if q.where:
+                    out = out.filter(F.expr(q.where))
+                out = out.selectExpr(
+                    *[f"{e} AS {a}" if a else e for e, a in q.select_items]
+                )
+                mode = "complete"
+            elif snapshot:
                 # OUTPUT SNAPSHOT EVERY d over a live aggregating query
                 # (snapshot_output_rate.rs): per-tick full-state emission as
                 # a stateful op; identical event-time restatement to the
                 # batch operator, so batch/streaming rows match
-                if q.pattern is not None or q.window is not None or not is_agg:
+                if q.pattern is not None or not is_agg or (
+                    q.window is not None and q.window.kind != "tumbling"
+                ):
                     raise ValueError(
-                        "streaming OUTPUT SNAPSHOT supports non-windowed "
-                        "aggregating queries"
+                        "streaming OUTPUT SNAPSHOT supports non-windowed or "
+                        "tumbling-windowed aggregating queries"
                     )
                 from ..operators.output import _parse_simple_agg
                 from ..streaming.ratelimit import snapshot_agg_stream
@@ -863,6 +934,17 @@ class EventFluxApp:
                 keys = [
                     g.strip() for g in (q.group_by or "").split(",") if g.strip()
                 ]
+                # tumbling window → the bucket start joins the state key
+                # (same partials-over-buckets decomposition as the batch
+                # operator; VERDICT r4 #5)
+                wb_expr = None
+                if q.window is not None:
+                    wms = int(q.window.params[0])
+                    wb_expr = F.floor(
+                        F.col("__ts").cast("timestamp_ltz").cast("double")
+                        * 1000.0
+                        / F.lit(float(wms))
+                    ).cast("bigint").alias("__wb")
                 agg_items = [
                     (e, a or e) for e, a in q.select_items if _is_agg_expr(e)
                 ]
@@ -881,6 +963,7 @@ class EventFluxApp:
                     else stream
                 )
                 proj = src_f.select(
+                    *([wb_expr] if wb_expr is not None else []),
                     *keys,
                     *[
                         (
@@ -892,6 +975,7 @@ class EventFluxApp:
                     ],
                     "__seq", "__ts",
                 )
+                state_keys = (["__wb"] if wb_expr is not None else []) + keys
                 interval_ms = q.output_rate[1]
                 end = _EPOCH + datetime.timedelta(seconds=max(self._seq, 1))
                 start_ms = int(
@@ -905,6 +989,7 @@ class EventFluxApp:
                 ktypes = dict(self.streams[q.source].columns)
                 out_schema = ", ".join(
                     ["__tick bigint"]
+                    + (["__wb bigint"] if wb_expr is not None else [])
                     + [f"{k} {ktypes[k]}" for k in keys]
                     + [
                         f"`{a}` " + (
@@ -914,14 +999,16 @@ class EventFluxApp:
                     ]
                 )
                 snap = snapshot_agg_stream(
-                    proj, keys, parsed, aliases, out_schema,
+                    proj, state_keys, parsed, aliases, out_schema,
                     interval_ms, start_ms, n_ticks,
                 )
                 # final projection in select-item order, cast to the target
                 # stream's declared types (batch sum(int) is BIGINT etc.)
                 ttypes = dict(self.streams[target].columns)
                 tcols = [c for c, _ in self.streams[target].columns]
-                sel = [F.col("__tick")]
+                sel = [F.col("__tick")] + (
+                    [F.col("__wb")] if wb_expr is not None else []
+                )
                 for (e, a), c in zip(q.select_items, tcols):
                     src_col = (a or e) if _is_agg_expr(e) else e
                     sel.append(F.col(src_col).cast(ttypes[c]).alias(c))
@@ -933,12 +1020,12 @@ class EventFluxApp:
                 # construction, streaming twin) — each secondary feed gets
                 # its OWN far-future sentinel because the union's watermark
                 # is the MIN across inputs
-                if q.pattern.absent is not None:
-                    raise ValueError(
-                        "absent patterns (NOT ... FOR) run in batch mode "
-                        "only (the reference never implemented them live)"
+                p_streams = list(
+                    dict.fromkeys(
+                        [s.stream for s in q.pattern.steps]
+                        + ([q.pattern.absent[0]] if q.pattern.absent else [])
                     )
-                p_streams = list(dict.fromkeys(s.stream for s in q.pattern.steps))
+                )
                 all_cols: dict[str, str] = {}
                 for s in p_streams:
                     for c, t in self.streams[s].columns:
@@ -964,7 +1051,10 @@ class EventFluxApp:
                     )
                     join_feed_dirs.append(pdir)
                     ustream = ustream.unionByName(_unify(ps, s))
-                out = self._compile_pattern_stream(q, ustream, watermark)
+                if q.pattern.absent is not None:
+                    out = self._compile_absent_stream(q, ustream, watermark)
+                else:
+                    out = self._compile_pattern_stream(q, ustream, watermark)
                 mode = "append"
             elif q.window is not None and q.window.kind == "time":
                 # live time(d) window: stateful trailing-d buffer on the
@@ -1211,11 +1301,6 @@ class EventFluxApp:
                 stream_partners = [
                     j for j in q.joins if not self.streams[j[1]].is_table
                 ]
-                if stream_partners and q.output_rate is not None:
-                    raise ValueError(
-                        "streaming stream-stream joins cannot combine with "
-                        "OUTPUT rate limiting"
-                    )
                 has_outer = any(j[0] != "inner" for j in stream_partners)
                 if stream_partners and not has_outer:
                     # the driver sentinel must not join real partner rows
@@ -1255,11 +1340,10 @@ class EventFluxApp:
                             "event-time bound: JOIN ... ON cond WITHIN d"
                         )
                     if how != "inner":
-                        if len(q.joins) != 1 or q.output_rate is not None:
+                        if len(q.joins) != 1:
                             raise ValueError(
                                 "streaming outer stream-stream joins "
-                                "support a single join without OUTPUT "
-                                "rate limiting"
+                                "support a single join"
                             )
                         out = self._join_outer_stream(
                             out, q, how, sname, cond, within_ms,
@@ -1315,11 +1399,33 @@ class EventFluxApp:
                         from ..streaming.ratelimit import output_rate_stream
 
                         out = out.selectExpr(*items, "__seq", "__ts")
+                        if stream_partners:
+                            # the INNER join dropped the sentinels pre-join
+                            # (neutral keys could match real rows), so the
+                            # limiter gets its flush event from a dedicated
+                            # one-row far-future feed unioned AFTER the join
+                            # — the join+limiter composition the reference
+                            # runs (select_processor.rs:30-38 applies the
+                            # limiter downstream of any input)
+                            out = out.unionByName(
+                                self._mk_flush_feed(
+                                    out.schema, join_feed_dirs, n_chunks
+                                )
+                            )
                         out = output_rate_stream(out, *q.output_rate).drop(
                             "__ts"
                         )
                     else:
                         out = out.selectExpr(*items, "__seq")
+                elif q.output_rate is not None:
+                    # outer join: sentinels flow THROUGH the join (their
+                    # far-future pads both advance the limiter's buckets and
+                    # flush pending state; __seq >= 10^9 keeps them uncounted)
+                    from ..streaming.ratelimit import output_rate_stream
+
+                    out = output_rate_stream(out, *q.output_rate)
+                if outer_projected:
+                    out = out.drop("__ts")
                 mode = "append"
             else:
                 # non-windowed GROUP BY: running aggregation. The reference
@@ -1352,10 +1458,10 @@ class EventFluxApp:
             res = self.spark.sql(f"SELECT * FROM {name}")
             # drop sentinel artifacts (null-keyed rows / sentinel seq)
             if "__tick" in res.columns:
-                # SNAPSHOT emission order: (tick, keys) — matches the batch
-                # operator's row_number over (tick, keys)
+                # SNAPSHOT emission order: (tick[, window bucket], keys) —
+                # matches the batch operator's row_number ordering
                 rest = [c for c in res.columns if c != "__tick"]
-                res = res.orderBy("__tick", *rest).drop("__tick")
+                res = res.orderBy("__tick", *rest).drop("__tick", "__wb")
             elif "__seq" in res.columns:
                 res = res.filter(F.col("__seq") < 10**9).orderBy("__seq").drop("__seq")
             else:
@@ -1386,9 +1492,11 @@ class EventFluxApp:
         once the watermark passes — the reference's outer-join emission
         (``join_processor.rs:104-112``, ``tests/app_runner_joins.rs:28-43``).
 
-        Returns the FULLY projected stream (select items + ``__seq``): the
-        pad filter must run while the join aliases are still resolvable, so
-        WHERE and the item projection happen here, not in the caller."""
+        Returns the FULLY projected stream (select items + ``__seq`` +
+        ``__ts``, both coalesced across sides so pads keep an event time for
+        a downstream rate limiter): the pad filter must run while the join
+        aliases are still resolvable, so WHERE and the item projection
+        happen here, not in the caller."""
         if within_ms >= 6 * 86_400_000:
             # sentinel timestamps sit 7 days apart so the bound itself keeps
             # them from ever matching (see below)
@@ -1430,9 +1538,86 @@ class EventFluxApp:
         # (__seq >= 10^9 after the coalesce below).
         j = main.join(partner, F.expr(cond) & bound, how)
         if q.where:
-            j = j.filter(F.expr(q.where))
+            # the OR-guard keeps sentinel pads alive for a downstream rate
+            # limiter's flush; it references BOTH sides' seq columns, so it
+            # cannot be pushed below either watermark node (single-side
+            # deterministic predicates would be). Sentinel rows still never
+            # reach results — the drain filters __seq >= 10^9.
+            j = j.filter(
+                F.expr(q.where)
+                | (F.col("__seq") >= 10**9)
+                | (F.col("__pseq") >= 10**9)
+            )
         items = [f"{e} AS {a}" if a else e for e, a in q.select_items]
-        return j.selectExpr(*items, "coalesce(__seq, __pseq) AS __seq")
+        return j.selectExpr(
+            *items,
+            "coalesce(__seq, __pseq) AS __seq",
+            "coalesce(__ts, __pts) AS __ts",
+        )
+
+    def _mk_flush_feed(
+        self, schema, feed_dirs: list, n_chunks: int = 3
+    ) -> DataFrame:
+        """One-row far-future flush stream with the given schema (data
+        columns neutral-valued, ``__seq`` = 10**9): the rate limiter's
+        sentinel-as-data flush event for pipelines whose real feeds dropped
+        their sentinels (the post-INNER-join composition — neutral sentinel
+        keys could match real partner rows, so the join sides filter them
+        and the flush re-enters downstream).
+
+        The flush row must arrive strictly AFTER every real chunk (each
+        file source advances one file per trigger, concurrently), so the
+        feed leads with ``n_chunks`` empty prefix files — the flush file is
+        only consumed once every real feed is exhausted."""
+        import os
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        # type-correct NEUTRAL values (not NULLs): the limiter's packed
+        # state round-trips through pandas astype, and a NaN in an integer
+        # column would break the int cast
+        def neutral(dt):
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return 0
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return 0.0
+            if isinstance(dt, T.BooleanType):
+                return False
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return _EPOCH
+            if isinstance(dt, T.StringType):
+                # a concrete value keeps the pandas->parquet dtype stable
+                # (an all-None object column writes as a null/INT32 column
+                # the file stream's string schema then rejects)
+                return "\x00flush"
+            return None
+
+        vals = []
+        for f in schema.fields:
+            if f.name == "__seq":
+                vals.append(10**9)
+            elif f.name == "__ts":
+                vals.append(_EPOCH + datetime.timedelta(days=3650))
+            else:
+                vals.append(neutral(f.dataType))
+        d = tempfile.mkdtemp(prefix="efs_sqlflush_")
+        feed_dirs.append(d)
+        pdf = self.spark.createDataFrame([tuple(vals)], schema).toPandas()
+        for i in range(n_chunks):
+            pdf.iloc[0:0].to_parquet(
+                os.path.join(d, f"c{i:03d}.parquet"), index=False,
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+        pdf.to_parquet(
+            os.path.join(d, f"c{n_chunks:03d}.parquet"), index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        return (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
 
     def _mk_stream_feed(
         self,
@@ -1501,6 +1686,66 @@ class EventFluxApp:
             .parquet(d)
         )
         return stream, d
+
+    def _compile_absent_stream(self, q: QueryDef, ustream, watermark: str):
+        """Live ``PATTERN (e1=S[c] -> NOT S2[c2] FOR d)`` (VERDICT r4 #6):
+        the state timeout in :func:`cep.streaming.match_absent_stream` plays
+        the reference's designed-but-never-built TimerWheel
+        (``PATTERN_PROCESSING.md:34-38``) — triggers emit once the watermark
+        proves the absent window empty. Flags/selects mirror the batch
+        ``_run_absent_pattern`` so streaming rows equal the replay."""
+        from ..cep.streaming import match_absent_stream
+
+        p = q.pattern
+        if len(p.steps) != 1:
+            raise ValueError(
+                "absent patterns support one trigger step: "
+                "PATTERN (e1=S[cond] -> NOT S2[cond] FOR d)"
+            )
+        trig = p.steps[0]
+        ab_stream, ab_cond, for_ms = p.absent
+        if q.partition_keys:
+            key_cols = set(q.partition_keys.values())
+            if len(key_cols) != 1:
+                raise ValueError(
+                    "pattern PARTITION keys must share one column name"
+                )
+            key_expr = F.col(next(iter(key_cols))).cast("string")
+        else:
+            key_expr = F.lit("__global__")
+        trig_flag = (F.col("__src") == trig.stream) & (F.col("__seq") < 10**9)
+        if trig.condition:
+            trig_flag = trig_flag & F.expr(trig.condition)
+        ab_flag = (F.col("__src") == ab_stream) & (F.col("__seq") < 10**9)
+        if ab_cond:
+            ab_flag = ab_flag & F.expr(ab_cond)
+        df = (
+            ustream.withColumn("conv_id", key_expr)
+            .withColumn("turn_idx", F.col("__seq").cast("int"))
+            .withColumn("ts", F.col("__ts"))
+            .withColumn("__is_trig", trig_flag)
+            .withColumn("__is_abs", ab_flag)
+        )
+        select_plan, referenced, agg_emits, index_emits = _pattern_select_plan(
+            q.select_items, p.steps
+        )
+        if any(agg_emits.values()) or any(index_emits.values()):
+            raise ValueError(
+                "absent patterns support plain e1.col select items"
+            )
+        emit = tuple(sorted({"turn_idx", *referenced[trig.alias]}))
+        out = match_absent_stream(
+            df, "__is_trig", "__is_abs",
+            pd.Timedelta(milliseconds=for_ms),
+            emit_cols=emit, watermark_delay=watermark,
+        )
+        for c in emit:
+            out = out.withColumnRenamed(c, f"{trig.alias}_{c}")
+        out = out.withColumnRenamed("ts", f"{trig.alias}_ts")
+        return out.select(
+            *[F.col(src).alias(o) for src, o in select_plan],
+            F.col(f"{trig.alias}_turn_idx").cast("bigint").alias("__seq"),
+        )
 
     def _compile_pattern_stream(self, q: QueryDef, stream, watermark: str):
         from ..cep.streaming import match_pattern_stream
@@ -1599,12 +1844,31 @@ class EventFluxApp:
 
         if not (q.group_by or any(_AGG_RE.search(e) for e, _ in q.select_items)):
             raise ValueError("OUTPUT SNAPSHOT requires an aggregating query")
-        if q.window is not None:
-            raise ValueError("OUTPUT SNAPSHOT over explicit windows unsupported")
+        if q.window is not None and q.window.kind != "tumbling":
+            raise ValueError(
+                "OUTPUT SNAPSHOT supports non-windowed or tumbling-windowed "
+                "aggregating queries"
+            )
         df = self.stream_df(q.source, stack | {q.target})
         if q.where:
             df = df.filter(F.expr(q.where))
         keys = [g.strip() for g in (q.group_by or "").split(",") if g.strip()]
+        if q.window is not None:
+            # SNAPSHOT over a tumbling window = the window bucket joins the
+            # aggregation key (partials-over-buckets decomposition, VERDICT
+            # r4 #5): at tick t the full per-(bucket, keys) state over
+            # events with ts <= t emits — closed buckets show final values,
+            # the open bucket its partial state
+            wms = int(q.window.params[0])
+            df = df.withColumn(
+                "__wb",
+                F.floor(
+                    F.col("__ts").cast("timestamp_ltz").cast("double")
+                    * 1000.0
+                    / F.lit(float(wms))
+                ).cast("bigint"),
+            )
+            keys = ["__wb"] + keys
         aggs = [(e, a or e) for e, a in q.select_items if _AGG_RE.search(e)]
         interval_ms = q.output_rate[1]
         end = _EPOCH + datetime.timedelta(seconds=max(self._seq, 1))

