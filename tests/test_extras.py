@@ -141,6 +141,55 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             resize_images(assets, 64, 64)
 
+    def test_wav_containers_are_spec_compliant(self, spark):
+        # the synthesized RIFF files must open in a THIRD-PARTY reader —
+        # stdlib `wave` — with the declared rate/width/frame count
+        import io
+        import wave
+
+        from eventflux_engine_spark.multimodal import (
+            WAV_RATES,
+            wav_assets_from_documents,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+        rows = wav_assets_from_documents(docs).collect()
+        assert len(rows) == 20
+        for r in rows:
+            with wave.open(io.BytesIO(bytes(r["payload"]))) as w:
+                assert w.getnchannels() == 1
+                assert w.getsampwidth() == 2
+                assert w.getframerate() == WAV_RATES[r["asset_id"] % 3]
+                assert w.getframerate() == r["sample_rate"]
+                assert w.getnframes() * 2 + 44 == len(bytes(r["payload"]))
+
+    def test_wav_parser_reads_thirdparty_files(self):
+        # symmetric check: a stdlib-written WAV (with sizes/chunks laid out
+        # by `wave`, not by us) decodes through parse_wav
+        import io
+        import wave
+
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import parse_wav
+
+        samples = (np.arange(-50, 50, dtype="<i2") * 100).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(samples.tobytes())
+        channels, rate, bits, data = parse_wav(buf.getvalue())
+        assert (channels, rate, bits) == (1, 16000, 16)
+        assert np.array_equal(np.frombuffer(data, dtype="<i2"), samples)
+
+    def test_wav_parser_rejects_non_riff(self):
+        from eventflux_engine_spark.multimodal import parse_wav
+
+        with pytest.raises(ValueError, match="RIFF"):
+            parse_wav(b"NOTAWAVFILE")
+
 
 class TestEmbeddingNearDupLSH:
     """The GATED embedding near-dup plan must be the scale plan: equi-join
