@@ -133,13 +133,135 @@ class TestMultimodal:
         j = feats.merge(meta, left_on="asset_id", right_on="asset_id")
         assert (j["decl_width"] == j["w"]).all() and (j["decl_height"] == j["h"]).all()
 
-    def test_resize_is_explicitly_stubbed(self, spark):
-        docs = spark.read.parquet(f"{SF}/documents.parquet")
+    def test_resize_rejects_non_bmp_payloads(self, spark):
+        # resize is REAL now (r4 missing #6) and decodes its input — the
+        # synthetic ASCII-container assets are not BMPs and must be refused
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
         assets = assets_from_documents(docs)
         from eventflux_engine_spark.multimodal import resize_images
 
-        with pytest.raises(NotImplementedError):
-            resize_images(assets, 64, 64)
+        with pytest.raises(Exception, match="BMP"):
+            resize_images(assets, 64, 64).collect()
+
+    def test_bmp_roundtrip_and_padding(self):
+        # encode->parse is identity across widths that do and don't need
+        # 4-byte row padding (w*3 % 4 in {0,1,2,3})
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import _bmp_encode, parse_bmp
+
+        for h, w in [(8, 8), (9, 9), (10, 10), (7, 11), (14, 16)]:
+            g = (np.arange(h * w, dtype=np.int64) * 7 % 251).astype(np.uint8)
+            g = g.reshape(h, w)
+            raw = _bmp_encode(g)
+            assert raw[:2] == b"BM" and len(raw) == 54 + h * ((w * 3 + 3) & ~3)
+            assert np.array_equal(parse_bmp(raw), g)
+
+    def test_bmp_parser_reads_topdown_thirdparty_layout(self):
+        # negative biHeight (top-down rows) + a non-54 data offset are legal
+        # in the wild; the parser must honor both
+        import struct
+
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import parse_bmp
+
+        g = np.arange(30, dtype=np.uint8).reshape(6, 5)
+        stride = (5 * 3 + 3) & ~3
+        rows = np.zeros((6, stride), np.uint8)
+        rows[:, :15] = np.repeat(g[:, :, None], 3, 2).reshape(6, 15)
+        body = rows.tobytes()  # top-down: first row first
+        gap = b"\x00" * 6  # e.g. a palette/ICC gap before pixel data
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, 5, -6, 1, 24, 0, len(body), 0, 0, 0, 0
+        )
+        raw = (
+            struct.pack("<2sIHHI", b"BM", 14 + 40 + 6 + len(body), 0, 0, 60)
+            + info + gap + body
+        )
+        assert np.array_equal(parse_bmp(raw), g)
+
+    def test_bmp_parser_rejects_compressed(self):
+        import struct
+
+        from eventflux_engine_spark.multimodal import parse_bmp
+
+        info = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 1, 0, 0, 0, 0, 0)
+        raw = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + info
+        with pytest.raises(ValueError, match="BI_RGB"):
+            parse_bmp(raw)
+
+    def test_resize_nearest_neighbor_exact(self, spark):
+        # resize output decoded again == numpy floor-index resample of the
+        # decoded input — the whole chain is exact
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import (
+            bmp_assets_from_documents,
+            parse_bmp,
+            resize_images,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(12)
+        assets = bmp_assets_from_documents(docs)
+        src = {r["asset_id"]: parse_bmp(bytes(r["payload"])) for r in assets.collect()}
+        out = resize_images(assets, 12, 10).collect()
+        assert len(out) == 12
+        for r in out:
+            g = src[r["asset_id"]]
+            h, w = g.shape
+            rr = (np.arange(10) * h) // 10
+            cc = (np.arange(12) * w) // 12
+            assert np.array_equal(parse_bmp(bytes(r["payload"])), g[np.ix_(rr, cc)])
+
+    def test_y4m_header_and_frame_walk(self, spark):
+        # headers are spec-shaped, unknown tags skipped, frame count and
+        # payload size agree with W/H/C420 math
+        from eventflux_engine_spark.multimodal import (
+            parse_y4m_header,
+            y4m_assets_from_documents,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(15)
+        for r in y4m_assets_from_documents(docs).collect():
+            raw = bytes(r["payload"])
+            w, h, num, den, off = parse_y4m_header(raw)
+            assert (num, den) == (25, 1) and w % 2 == 0 and h % 2 == 0
+            frame_bytes = 6 + w * h + 2 * (w // 2) * (h // 2)
+            assert len(raw) - off == r["n_frames"] * frame_bytes
+
+    def test_y4m_parser_skips_unknown_tags_rejects_c444(self):
+        from eventflux_engine_spark.multimodal import parse_y4m_header
+
+        w, h, num, den, off = parse_y4m_header(
+            b"YUV4MPEG2 W4 H2 F30000:1001 Ip A128:117 Xcustom C420jpeg\nFRAME\n"
+        )
+        assert (w, h, num, den) == (4, 2, 30000, 1001)
+        with pytest.raises(ValueError, match="chroma"):
+            parse_y4m_header(b"YUV4MPEG2 W4 H2 F25:1 C444\n")
+
+    def test_sample_frames_stride_and_stats(self, spark):
+        # every_ms=120 at F25:1 -> every 3rd frame; ts_ms = idx*40; Y stats
+        # recomputable from the source text bytes
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import (
+            sample_frames,
+            y4m_assets_from_documents,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        out = sample_frames(y4m_assets_from_documents(docs), every_ms=120)
+        for r in out.collect():
+            assert r["frame_idx"] % 3 == 0
+            assert r["ts_ms"] == r["frame_idx"] * 40
+            body = np.frombuffer(texts[r["asset_id"]].encode(), np.uint8)
+            n = len(body)
+            y = body[(7 * r["frame_idx"] + np.arange(r["width"] * r["height"])) % n]
+            assert (r["y_min"], r["y_max"], r["y_sum"]) == (
+                int(y.min()), int(y.max()), int(y.sum()),
+            )
 
     def test_wav_containers_are_spec_compliant(self, spark):
         # the synthesized RIFF files must open in a THIRD-PARTY reader —
