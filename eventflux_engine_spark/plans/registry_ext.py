@@ -1343,6 +1343,446 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEC = "decimal(18,2)"
+
+
+def _vol() -> "F.Column":
+    """Exact-decimal discounted revenue l_extendedprice*(1-l_discount) —
+    the money discipline from tpch_q1 (float sums drift at sf1.0+)."""
+    return F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+
+
+_VOL_SQL = (
+    "cast(l_extendedprice AS DECIMAL(18,2))"
+    " * cast(1 - l_discount AS DECIMAL(18,2))"
+)
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           round(cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE cast(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / cast(sum(volume) AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year, n2.n_name AS supp_nation,
+             {_VOL_SQL} AS volume
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    ) GROUP BY o_year
+    """,
+    doc="TPC-H Q8-style national market share: NATION_3's share of the "
+    "ASIA-region PROMO-part market per year. Six broadcast dims into one "
+    "lineitem fact scan (Catalyst reorders; the p_type and r_name filters "
+    "prune their dims before broadcast), conditional/total decimal sums in "
+    "one hash agg, share divided as double only at the end",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _vol().alias("volume")
+    base = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n_cust), F.col("cn_key") == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == F.col("cn_region"))
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n_supp), F.col("sn_key") == s.s_nationkey)
+        .select(F.year("o_orderdate").alias("o_year"), F.col("supp_nation"), vol)
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(num.cast("double") / F.sum("volume").cast("double"), 4).alias(
+            "mkt_share"
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year,
+           round(cast(sum(revenue) - sum(cost) AS DOUBLE), 2) AS profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             {_VOL_SQL} AS revenue,
+             cast(p.p_retailprice AS DECIMAL(18,2))
+               * cast(l.l_quantity AS DECIMAL(18,2)) AS cost
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ) GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9-style product-type profit by supplier nation and year "
+    "(this schema has no partsupp/ps_supplycost — p_retailprice*l_quantity "
+    "is the cost proxy, p_name LIKE the part filter): broadcast dims into "
+    "the fact, two exact-decimal sums subtracted in decimal, cast to "
+    "double only for the final round",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    cost = (
+        F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
+    ).alias("cost")
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            _vol().alias("revenue"),
+            cost,
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(
+                (F.sum("revenue") - F.sum("cost")).cast("double"), 2
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    f"""
+    WITH partval AS (
+      SELECT l_partkey, sum({_VOL_SQL}) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           round(cast(value AS DOUBLE), 2) AS part_value
+    FROM partval
+    WHERE cast(value AS DOUBLE)
+          > 1.6 * (SELECT cast(sum(value) AS DOUBLE) / count(*) FROM partval)
+    """,
+    doc="TPC-H Q11-style important parts (no partsupp — per-part lineitem "
+    "revenue stands in for stock value): per-key decimal partial+final agg, "
+    "then the GLOBAL mean part value as a broadcast scalar (one extra "
+    "reduction over the same pre-agg, not a second fact scan; the 1.6x-MEAN "
+    "threshold is sf-invariant where Q11's fixed fraction degenerates to "
+    "empty as the part count grows) — the Spark plan is agg -> "
+    "crossJoin(broadcast 1-row stats) -> filter, the standard "
+    "scalar-subquery decorrelation",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    partval = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_vol()).alias("value"))
+    )
+    stats = partval.agg(
+        (F.sum("value").cast("double") / F.count(F.lit(1))).alias("__mean")
+    )
+    return (
+        partval.crossJoin(F.broadcast(stats))
+        .filter(F.col("value").cast("double") > 1.6 * F.col("__mean"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13-style customer order-count distribution (the comment "
+    "NOT-LIKE filter adapted to o_orderpriority): LEFT OUTER join keeps "
+    "zero-order customers, count(col) skips the null-padded rows, then a "
+    "second (tiny) agg builds the histogram — two shuffles, the first "
+    "keyed on the customer key",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum({_VOL_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(cast(r.total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15-style top supplier: the revenue view aggregates the "
+    "date-pruned fact once; the max is a broadcast 1-row scalar joined "
+    "back by DECIMAL equality (ties kept, like the spec) — the view is "
+    "reused, not recomputed, via an eager localCheckpoint",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_vol()).alias("total_revenue"))
+        .localCheckpoint(eager=True)  # reused by the max probe AND the join
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__max"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .join(F.broadcast(s), s.s_suppkey == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH brand AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#7'
+    ),
+    thr AS (
+      SELECT l.l_partkey,
+             0.2 * (cast(sum(cast(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*)) AS qty_thr
+      FROM lineitem l JOIN brand b ON b.p_partkey = l.l_partkey
+      GROUP BY l.l_partkey
+    )
+    SELECT round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem l JOIN thr t ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.qty_thr
+    """,
+    doc="TPC-H Q17-style small-quantity revenue: the correlated avg-"
+    "quantity subquery decorrelates into a per-part pre-agg (exact decimal "
+    "sum / count, 0.2x threshold) broadcast back onto the brand-filtered "
+    "fact — two scans of lineitem but the threshold side is reduced before "
+    "the join; single-row result",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    brand = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#7")
+        .select("p_partkey")
+    )
+    li_b = li.join(F.broadcast(brand), brand.p_partkey == li.l_partkey)
+    thr = li_b.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_thr")
+    )
+    return (
+        li_b.drop("p_partkey")
+        .join(F.broadcast(thr), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH per_order AS (
+      SELECT l.l_orderkey, max(l.l_shipdate) AS max_ship,
+             count(DISTINCT l.l_suppkey) AS n_supp
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey
+    ),
+    last_supp AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN per_order p ON p.l_orderkey = l.l_orderkey
+                       AND l.l_shipdate = p.max_ship
+      WHERE p.n_supp >= 2
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    sole AS (
+      SELECT l_orderkey FROM last_supp GROUP BY l_orderkey HAVING count(*) = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM last_supp ls
+    JOIN sole ON sole.l_orderkey = ls.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21-style waiting supplier (no receipt/commit dates in this "
+    "schema — 'the supplier whose shipment is the strict latest in a "
+    "multi-supplier finished order held it up'): per-order max-ship + "
+    "distinct-supplier pre-agg joined back to the fact (the EXISTS / "
+    "NOT EXISTS pair decorrelated into one self-join + a sole-supplier "
+    "HAVING), supplier dim broadcast, TakeOrderedAndProject top-20",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    li_f = li.join(F.broadcast(o.select("o_orderkey")), o.o_orderkey == li.l_orderkey)
+    per_order = li_f.groupBy(
+        F.col("l_orderkey").alias("po_orderkey")
+    ).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+    )
+    last_supp = (
+        li_f.join(
+            # per_order scales with |orders| — no broadcast hint; the
+            # equi-join on the order key shuffles both sides (AQE may
+            # still broadcast at small sf)
+            per_order.filter(F.col("n_supp") >= 2),
+            (F.col("po_orderkey") == li_f.l_orderkey)
+            & (li_f.l_shipdate == F.col("max_ship")),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: sole-supplier probe + final join
+    )
+    sole = (
+        last_supp.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        last_supp.join(sole, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           count(*) AS numcust,
+           round(cast(sum(cast(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q22-style global sales opportunity (nation stands in for "
+    "the phone country code): the positive-balance average is a broadcast "
+    "1-row scalar; NOT EXISTS decorrelates to a LEFT-ANTI hash join on "
+    "the customer key; exact-decimal balance sums per nation",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__avg")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o, o.o_custkey == c.c_custkey, "left_anti")
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+    )
+
+
 @register(
     "events_latency_percentiles",
     """

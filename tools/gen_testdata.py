@@ -59,7 +59,7 @@ PRIORITIES = np.array(
 PTYPES = np.array(
     ["ECONOMY", "SMALL", "PROMO", "LARGE", "STANDARD", "MEDIUM"]
 )
-PNOUNS = ["ring", "bolt", "screw", "nut", "washer", "gear", "pin", "rod"]
+PNOUNS = ["widget", "ring", "gear", "gizmo", "anvil", "bolt", "plate", "rod"]
 PADJS = ["large", "hot", "blue", "red", "green", "small", "cold", "dark"]
 
 EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
