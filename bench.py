@@ -51,6 +51,11 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "dedup_cluster_resolution",
     "curation_decontaminate",
+    # round 5: the heaviest of the new TPC-H tail (self-join + two aggs
+    # over the fact), the outer-join histogram, and the codec-UDF path
+    "tpch_q21_waiting_supplier",
+    "tpch_q13_customer_distribution",
+    "multimodal_bmp_resize",
 ]
 
 CEP_TURNS = int(os.environ.get("SPARK_GRAFT_CEP_TURNS", "2000000"))
