@@ -644,21 +644,48 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-def dup_clusters_sql(pairs_cte: str = "cand_pairs") -> str:
-    """DuckDB twin: transitive min-reachable-id via a recursive CTE (UNION
-    dedup terminates it); requires the pairs CTE upstream."""
-    return f"""
-edges AS (
+def dup_clusters_sql(pairs_cte: str = "cand_pairs", rounds: int = 32) -> str:
+    """DuckDB twin: min-reachable-id via UNROLLED hash-min label-propagation
+    rounds — the same linear-per-round algorithm the Spark side runs, NOT a
+    reachability recursive CTE. The recursive form materializes the full
+    (node, reachable-label) relation, which is Σ|component|² rows and joins
+    |component|³ per step — a quasi-clique of a few hundred near-identical
+    short docs (tiny vocab) spilled >70 GB at sf3.0. Each round here is one
+    |edges| join + a per-node min, every intermediate is AS MATERIALIZED
+    (DuckDB 1.0 inlines a CTE once per reference — unrolled rounds would
+    otherwise replicate the whole upstream LSH pipeline 2^rounds times).
+    ``rounds`` bounds the component diameter the oracle can converge;
+    propagation reaches fixpoint in diameter rounds (near-dup components
+    are cliques/stars/short chains), and the value-hash against the
+    fixpoint-iterated Spark side verifies convergence — an under-provisioned
+    unroll cannot silently match."""
+    parts = [
+        f"""
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM {pairs_cte}
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM {pairs_cte}
 ),
+lab0 AS MATERIALIZED (
+  SELECT src AS doc_id, src AS label FROM edges GROUP BY src
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""
+lab{k} AS MATERIALIZED (
+  SELECT doc_id, min(label) AS label FROM (
+    SELECT doc_id, label FROM lab{k - 1}
+    UNION ALL
+    SELECT e.dst AS doc_id, l.label
+    FROM lab{k - 1} l JOIN edges e ON e.src = l.doc_id
+  ) GROUP BY doc_id
+)"""
+        )
+    parts.append(
+        f"""
 reach AS (
-  WITH RECURSIVE r(doc_id, label) AS (
-    SELECT src, src FROM edges
-    UNION
-    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.doc_id
-  )
-  SELECT doc_id, min(label) AS cluster_id FROM r GROUP BY doc_id
-)
-"""
+  SELECT doc_id, label AS cluster_id FROM lab{rounds}
+)"""
+    )
+    return ",".join(parts)
