@@ -31,6 +31,9 @@ __all__ = [
     "doc_fingerprint",
     "LANG_MARKERS",
     "text_features_pandas",
+    "PII_PATTERNS",
+    "pii_counts",
+    "pii_redact",
 ]
 
 #: tiny deterministic marker-word lists per language (n-gram-heuristic
@@ -139,6 +142,36 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("upper_ratio", T.DoubleType()),
     ]
 )
+
+
+#: PII scrub patterns, ordered (redaction applies them in this order; the
+#: oracle mirrors both pattern and order). Every construct here (char
+#: classes, bounded quantifiers, \b) behaves identically under Java regex
+#: (Spark) and RE2 (DuckDB) — no lookarounds, no backrefs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,6}", "<EMAIL>"),
+    ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (regexp_extract_all size — one pass
+    per pattern, whole-stage codegen, no Python)."""
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact(c: Column) -> Column:
+    """Redact all PII kinds with typed placeholder tokens, in
+    ``PII_PATTERNS`` order (order matters: an email is redacted before the
+    ipv4 pattern could bite its domain digits)."""
+    out = c
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 
 @F.pandas_udf(_FEATURE_SCHEMA)

@@ -861,3 +861,192 @@ def q_curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + repetition filter
+# ---------------------------------------------------------------------------
+
+# documents.parquet carries no PII, so the scrub gate runs on a derived
+# corpus with deterministic synthetic PII appended (email / phone / ipv4,
+# keyed off doc_id — identical injection in both engines, same discipline
+# as AUG_DOCUMENTS_CTE).
+_PII_DOCS_CTE = """
+documents_pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || cast(doc_id AS VARCHAR)
+                      || '@example.com for access'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' or call 555-'
+                      || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' logged from 10.' || cast(doc_id % 256 AS VARCHAR)
+                      || '.' || cast((doc_id // 7) % 256 AS VARCHAR)
+                      || '.' || cast(doc_id % 250 AS VARCHAR)
+                 ELSE '' END
+         AS text
+  FROM documents
+)
+"""
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com for access"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit(" or call 555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    ipv4 = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" logged from 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (F.floor(d / 7).cast("bigint") % 256).cast("string"),
+            F.lit("."),
+            (d % 250).cast("string"),
+        ),
+    ).otherwise("")
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ipv4).alias("text")
+    )
+
+
+def _pii_redact_sql() -> str:
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}', 0)) AS n_{kind}"
+        for kind, pat, _ in TX.PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, token in TX.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH {_PII_DOCS_CTE.strip()}
+    SELECT * FROM (
+      SELECT doc_id,
+           {counts},
+           md5({redacted}) AS redacted_fp
+      FROM documents_pii
+    ) WHERE n_email + n_phone + n_ipv4 > 0
+    """
+
+
+@register(
+    "curation_pii_redact",
+    _pii_redact_sql(),
+    doc="PII scrub: per-kind occurrence counts (email / phone / ipv4) and "
+    "typed-placeholder redaction, value-proven byte-exact via md5 of the "
+    "redacted text — pure Catalyst regexp (one codegen stage per doc, no "
+    "shuffle except none: this is a narrow map; the WHERE prunes clean "
+    "docs at the scan). Patterns restricted to the Java-regex/RE2 common "
+    "subset so Spark and the oracle execute the same automaton",
+)
+def q_curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _pii_docs(spark, sf_dir)
+    counts = TX.pii_counts(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        *[c.cast("bigint").alias(f"n_{k}") for k, c in counts.items()],
+        F.md5(TX.pii_redact(F.col("text"))).alias("redacted_fp"),
+    )
+    return out.filter(
+        F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0
+    )
+
+
+@register(
+    "text_repetition_filter",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array({DD.NORMALIZE_SQL.format(c='text')}, ' ')
+               AS words
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             list_transform(range(1, len(words)),
+                            i -> words[i] || ' ' || words[i+1]) AS bigrams
+      FROM norm
+    ),
+    bg AS (
+      SELECT doc_id, len(bigrams) AS n_bigrams,
+             len(bigrams) - len(list_distinct(bigrams)) AS n_dup_bigrams
+      FROM big
+    ),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(words) AS w FROM norm)
+      GROUP BY doc_id, w
+    ),
+    tw AS (
+      SELECT doc_id, max(c) AS top_word_n, cast(sum(c) AS BIGINT) AS n_words
+      FROM wc GROUP BY doc_id
+    )
+    SELECT bg.doc_id, tw.n_words, tw.top_word_n, bg.n_bigrams,
+           bg.n_dup_bigrams,
+           (bg.n_dup_bigrams * 2 > bg.n_bigrams
+            OR tw.top_word_n * 5 > tw.n_words) AS flagged
+    FROM bg JOIN tw USING (doc_id)
+    """,
+    doc="Gopher-style repetition filter: per-doc duplicate-bigram count and "
+    "top-word count, integer-exact. Bigram stats are computed array-side "
+    "(zip_with over the word array — whole-stage codegen, zero shuffle); "
+    "only the top-word leg shuffles, and it is the standard word-count "
+    "shape (map-side partial agg on (doc_id, word)). Flag thresholds: "
+    ">50% duplicate bigrams or one word >20% of the doc",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(DD.normalize_ascii(F.col("text")), " ").alias("words")
+    )
+    n = F.size("words")
+    bigrams = F.zip_with(
+        F.slice("words", 1, n - 1),
+        F.expr("slice(words, 2, size(words) - 1)"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = base.select(
+        "doc_id",
+        F.size(bigrams).cast("bigint").alias("n_bigrams"),
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+        .cast("bigint")
+        .alias("n_dup_bigrams"),
+    )
+    wc = (
+        base.select("doc_id", F.explode("words").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tw = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_word_n"),
+        F.sum("c").cast("bigint").alias("n_words"),
+    )
+    return bg.join(tw, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "top_word_n",
+        "n_bigrams",
+        "n_dup_bigrams",
+        (
+            (F.col("n_dup_bigrams") * 2 > F.col("n_bigrams"))
+            | (F.col("top_word_n") * 5 > F.col("n_words"))
+        ).alias("flagged"),
+    )

@@ -965,3 +965,82 @@ class TestTrainedIvf:
         res = SIM.kmeans_codebook_q(emb, k=8, iters=2)
         assert len(res.cents) == 8  # empty clusters keep their centroid
         assert [c for c, _ in res.cents] == list(range(8))
+
+
+class TestPiiRedact:
+    def test_redaction_and_counts(self, spark):
+        from eventflux_engine_spark.functions import text as TX
+
+        df = spark.createDataFrame(
+            [
+                (1, "write to bob.smith+x@mail-host.co or call 555-0042 now"),
+                (2, "served from 10.1.200.9 and 192.168.0.1 twice"),
+                (3, "no pii here at all"),
+                (4, "a@b.io then 555-1234 then 8.8.8.8"),
+            ],
+            ["doc_id", "text"],
+        )
+        counts = TX.pii_counts(F.col("text"))
+        out = df.select(
+            "doc_id",
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+            TX.pii_redact(F.col("text")).alias("red"),
+        ).orderBy("doc_id")
+        rows = out.collect()
+        assert [(r.n_email, r.n_phone, r.n_ipv4) for r in rows] == [
+            (1, 1, 0),
+            (0, 0, 2),
+            (0, 0, 0),
+            (1, 1, 1),
+        ]
+        assert rows[0].red == "write to <EMAIL> or call <PHONE> now"
+        assert rows[1].red == "served from <IP> and <IP> twice"
+        assert rows[3].red == "<EMAIL> then <PHONE> then <IP>"
+
+    def test_phone_needs_word_boundary(self, spark):
+        from eventflux_engine_spark.functions import text as TX
+
+        df = spark.createDataFrame([(1, "id 1555-00421 is not a phone")], ["i", "t"])
+        n = df.select(TX.pii_counts(F.col("t"))["phone"].alias("n")).first().n
+        assert n == 0
+
+
+class TestRepetitionFilter:
+    def test_known_counts(self, spark):
+        import __spark_entry__ as entry
+
+        # "a b a b a" -> words [a,b,a,b,a]: 4 bigrams, 2 distinct -> 2 dup;
+        # top word 'a' x3 of 5 words -> flagged both ways
+        df = spark.createDataFrame([(0, "a b a b a")], ["doc_id", "text"])
+        df.createOrReplaceTempView("___rep_probe")
+        from eventflux_engine_spark import dedup as DD
+
+        base = df.select(
+            "doc_id", F.split(DD.normalize_ascii(F.col("text")), " ").alias("words")
+        )
+        n = F.size("words")
+        bigrams = F.zip_with(
+            F.slice("words", 1, n - 1),
+            F.expr("slice(words, 2, size(words) - 1)"),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        r = base.select(
+            F.size(bigrams).alias("nb"),
+            (F.size(bigrams) - F.size(F.array_distinct(bigrams))).alias("nd"),
+        ).first()
+        assert (r.nb, r.nd) == (4, 2)
+
+    def test_gate_flags_are_consistent(self, spark):
+        import __spark_entry__ as entry
+
+        out = entry.queries()["text_repetition_filter"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(out) == 500
+        for r in out:
+            expected = (r.n_dup_bigrams * 2 > r.n_bigrams) or (
+                r.top_word_n * 5 > r.n_words
+            )
+            assert r.flagged == expected
+            assert 0 <= r.n_dup_bigrams <= r.n_bigrams
+            assert 1 <= r.top_word_n <= r.n_words
