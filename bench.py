@@ -56,6 +56,9 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "tpch_q13_customer_distribution",
     "multimodal_bmp_resize",
+    # round 5 (late): single-shuffle as-of join — the carry-forward plan's
+    # cost is the thing being pinned (a range-join formulation explodes)
+    "events_asof_attribution",
 ]
 
 CEP_TURNS = int(os.environ.get("SPARK_GRAFT_CEP_TURNS", "2000000"))

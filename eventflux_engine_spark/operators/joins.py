@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["enrichment_join", "stream_stream_join", "in_table"]
+__all__ = [
+    "enrichment_join",
+    "stream_stream_join",
+    "in_table",
+    "asof_join",
+    "range_join_bucketed",
+]
 
 
 def enrichment_join(
@@ -98,3 +104,112 @@ def in_table(
     """
     t = F.broadcast(table) if broadcast_table else table
     return stream.join(t, on=on, how="left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the single most recent right row with
+    ``right_ts <= left_ts`` per key (kdb/DuckDB ASOF semantics, equality
+    included; LEFT flavor — unmatched left rows survive with a null match).
+
+    The reference engine has no as-of operator and Spark has no native one
+    either; the scalable formulation is NOT a per-row subquery or a range
+    join. Both sides are tagged and UNIONed, shuffled ONCE on the key, and
+    the match is a running last-non-null carry-forward over
+    ``(ts, side)`` order — right rows sort before left rows at equal ts so
+    ties match. Cost: one exchange + one in-partition sort, independent of
+    how many right rows precede each left row (a range join explodes on
+    exactly that). Skew follows the key distribution only — the same
+    salting/AQE treatment as any keyed aggregation applies.
+
+    Right rows must be unique per (key, ts) — dedupe upstream (the carried
+    value among exact duplicates is otherwise tie-ordered arbitrarily).
+
+    ``tolerance_seconds`` nulls out matches older than ``left_ts - tol``
+    (the row stays, LEFT semantics). Returns all left columns plus a
+    ``asof`` struct of the matched right row's non-key columns (null when
+    no match / out of tolerance).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    rstruct = F.struct(*[F.col(c) for c in right.columns if c not in keys])
+    r_t = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rstruct.alias("__r"),
+    )
+    rtype = r_t.schema["__r"].dataType
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+    l_t = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rtype).alias("__r"),
+        lstruct.alias("__l"),
+    )
+    ltype = l_t.schema["__l"].dataType
+    r_t = r_t.withColumn("__l", F.lit(None).cast(ltype))
+    u = l_t.unionByName(r_t.select(*l_t.columns))
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__r", ignorenulls=True).over(w)
+    if tolerance_seconds is not None:
+        lts = F.col("__ts").cast("timestamp_ltz").cast("double")
+        rts = matched[right_ts].cast("timestamp_ltz").cast("double")
+        matched = F.when(lts - rts <= float(tolerance_seconds), matched)
+    return (
+        u.withColumn("asof", matched)
+        .filter(F.col("__side") == 1)
+        .select(F.col("__l.*"), "asof")
+    )
+
+
+def range_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_epoch,
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    bucket_s: int = 86400,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Interval (range) join: facts whose epoch-seconds fall in
+    ``[start_col, end_col)`` of any interval row.
+
+    Naive Spark executes a non-equi join as BroadcastNestedLoop — every
+    fact probes every interval. This turns it into an EQUI-join: each
+    interval explodes to the fixed-width time buckets it overlaps, facts
+    compute their bucket with one ``floor(epoch / bucket_s)``, the join key
+    is the bucket, and the exact ``[start, end)`` predicate evaluates as a
+    post-join residual filter. Cost is |intervals| x avg-buckets-per-
+    interval rows on the small side (broadcast by default) and zero
+    expansion of the fact side — the only plan that survives a 100 TB fact
+    table. For interval tables too large to broadcast, the same bucketed
+    key shuffles both sides (set ``broadcast_intervals=False``); pick
+    ``bucket_s`` near the median interval length to bound the explode.
+    """
+    b_start = F.floor(F.col(start_col) / bucket_s).cast("bigint")
+    b_end = F.floor((F.col(end_col) - 1) / bucket_s).cast("bigint")
+    iv = intervals.withColumn("__b", F.explode(F.sequence(b_start, b_end)))
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    f = facts.withColumn("__e", fact_epoch).withColumn(
+        "__b", F.floor(F.col("__e") / bucket_s).cast("bigint")
+    )
+    return (
+        f.join(iv, "__b")
+        .filter((F.col("__e") >= F.col(start_col)) & (F.col("__e") < F.col(end_col)))
+        .drop("__b", "__e")
+    )

@@ -2171,3 +2171,123 @@ def q_ext_aggregator_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.expr("ema03(value, event_id)"), 4).alias("ema_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of + range joins (neither exists in the reference or in native Spark —
+# training-data / event-analytics staples, built shuffle-minimal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN c.click_id
+           END AS click_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY
+                THEN cast(floor(epoch(p.ts) - epoch(c.ts)) AS BIGINT)
+           END AS gap_s
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of attribution join: each purchase gets the most recent prior "
+    "click of the same user within 7 days (kdb/ASOF semantics; unmatched "
+    "purchases survive with nulls). Spark has no ASOF join - implemented "
+    "as tagged-union + one shuffle on the key + running last-non-null "
+    "carry-forward (operators/joins.py asof_join), which never expands "
+    "rows; the oracle is DuckDB's native ASOF LEFT JOIN, a genuinely "
+    "independent implementation of the same semantics",
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = asof_join(
+        purch, clicks, key="user_id", tolerance_seconds=7 * 86400
+    )
+    gap = F.floor(
+        epoch_seconds(F.col("ts")) - epoch_seconds(F.col("asof.ts"))
+    ).cast("bigint")
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof.click_id").alias("click_id"),
+        gap.alias("gap_s"),
+    )
+
+
+_CAMPAIGN_BASE = 1704067200  # 2024-01-01 00:00:00 UTC, epoch seconds
+
+
+@register(
+    "events_range_join_campaigns",
+    f"""
+    WITH intervals AS (
+      SELECT i AS interval_id,
+             {_CAMPAIGN_BASE} + i * 5 * 86400 + i * 3600 AS start_s,
+             {_CAMPAIGN_BASE} + i * 5 * 86400 + i * 3600
+               + ((i % 3) + 1) * 86400 AS end_s
+      FROM range(24) t(i)
+    )
+    SELECT interval_id, count(*) AS n_events,
+           cast(sum(cast(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           count(DISTINCT user_id) AS n_users
+    FROM events e JOIN intervals v
+      ON epoch(e.ts) >= v.start_s AND epoch(e.ts) < v.end_s
+    GROUP BY interval_id
+    """,
+    doc="range (interval) join: per-campaign-window event rollup. A naive "
+    "non-equi join is a nested-loop scan of every fact against every "
+    "interval; range_join_bucketed (operators/joins.py) explodes each "
+    "interval to the day buckets it overlaps and equi-joins on the bucket "
+    "with the exact [start, end) predicate as a residual filter - zero "
+    "fact-side expansion, broadcast interval side. Money sums as integer "
+    "cents (floor(value*100)) for bit-exact cross-engine aggregation",
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        spark.range(24)
+        .select(
+            F.col("id").cast("int").alias("interval_id"),
+            (F.lit(_CAMPAIGN_BASE) + F.col("id") * 5 * 86400 + F.col("id") * 3600)
+            .cast("double")
+            .alias("start_s"),
+            (
+                F.lit(_CAMPAIGN_BASE)
+                + F.col("id") * 5 * 86400
+                + F.col("id") * 3600
+                + ((F.col("id") % 3) + 1) * 86400
+            )
+            .cast("double")
+            .alias("end_s"),
+        )
+    )
+    joined = range_join_bucketed(ev, iv, epoch_seconds("ts"))
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
