@@ -598,3 +598,215 @@ def sample_frames(assets: DataFrame, every_ms: int) -> DataFrame:
             yield out
 
     return assets.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+# -- REAL compressed-image codec: PNG (8-bit grayscale, DEFLATE) -------------
+# The first COMPRESSED format decoded for real: PNG's compression is zlib —
+# Python's stdlib — so a spec-true encoder/decoder needs no external
+# library. The writer emits real PNGs (8-byte signature, big-endian chunk
+# framing, CRC-32 per chunk, IHDR color type 0 / bit depth 8, one
+# zlib-deflated IDAT) and CYCLES the scanline filter 0..4 per row
+# (None/Sub/Up/Average/Paeth), so every reconstruction path is exercised by
+# round-trip tests on its own output. The reader walks chunks generically
+# (CRC-verified, unknown ancillary chunks skipped, multi-IDAT concatenated
+# per spec) and reconstructs all five filter types, so it reads third-party
+# grayscale PNGs too. Only multi-channel/interlaced PNG and JPEG remain
+# with the PIL stub.
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_SCHEMA = "asset_id long, payload binary, width int, height int"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def _png_encode(gray: "np.ndarray", level: int = 6) -> bytes:
+    """Encode an (h, w) uint8 array as an 8-bit grayscale PNG. Filter type
+    cycles r % 5 per scanline — all spec-valid, chosen for path coverage
+    (a production encoder would pick per-row by minimum-sum heuristic)."""
+    import struct
+
+    h, w = gray.shape
+    g = gray.astype(np.int16)
+    prev = np.zeros(w, dtype=np.int16)
+    out = []
+    for r in range(h):
+        row = g[r]
+        left = np.concatenate(([0], row[:-1]))
+        ft = r % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth: with bpp=1, predictor(left, up, upper-left)
+            ul = np.concatenate(([0], prev[:-1]))
+            filt = row - _paeth(left, prev, ul)
+        out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(out), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor, vectorized (a=left, b=above, c=upper-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def parse_png(raw: bytes) -> "np.ndarray":
+    """Spec-true reader for 8-bit grayscale non-interlaced PNGs: chunk walk
+    with CRC verification, IDAT concatenation, zlib inflate, and per-row
+    reconstruction of all five filter types. Returns an (h, w) uint8 array."""
+    import struct
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, idat, dims = 8, [], None
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        tag = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "decoder expects 8-bit grayscale non-interlaced PNG"
+                )
+            dims = (h, w)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # unknown ancillary chunks (tEXt, pHYs, ...) skipped
+    if dims is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    h, w = dims
+    stream = zlib.decompress(b"".join(idat))
+    if len(stream) != h * (w + 1):
+        raise ValueError("decompressed size does not match dimensions")
+    out = np.zeros((h, w), dtype=np.int16)
+    prev = np.zeros(w, dtype=np.int16)
+    for r in range(h):
+        ft = stream[r * (w + 1)]
+        row = np.frombuffer(
+            stream, np.uint8, count=w, offset=r * (w + 1) + 1
+        ).astype(np.int16)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub with bpp=1 is a running sum along the row
+            cur = np.cumsum(row) % 256
+        elif ft == 2:
+            cur = (row + prev) % 256
+        elif ft == 3:  # Average: sequential left-dependency, short rows
+            cur = np.zeros(w, dtype=np.int16)
+            a = 0
+            for x in range(w):
+                a = (row[x] + (a + prev[x]) // 2) % 256
+                cur[x] = a
+        elif ft == 4:
+            cur = np.zeros(w, dtype=np.int16)
+            a = 0
+            for x in range(w):
+                c = prev[x - 1] if x else 0
+                a = (row[x] + _paeth(a, int(prev[x]), int(c))) % 256
+                cur[x] = a
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[r] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def png_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG assets from ``documents``: a (7+doc_id%6)-row
+    × (9+doc_id%8)-col grayscale raster whose pixel j (row-major) is the
+    text byte at ((3·j + 1) mod len(text)) — every decoded statistic is
+    recomputable from the source text, value-hash-gating the whole
+    deflate-encode → inflate-decode → unfilter chain."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w = 9 + did % 8
+                h = 7 + did % 6
+                body = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                idx = ((3 * np.arange(h * w) + 1) % len(body)).reshape(h, w)
+                ids.append(did)
+                payloads.append(_png_encode(body[idx]))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": payloads,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=_PNG_SCHEMA)
+
+
+_PNG_STATS_SCHEMA = (
+    "asset_id long, width int, height int, n_px int, px_min int, "
+    "px_max int, px_sum bigint"
+)
+
+
+def decode_png_stats(assets: DataFrame) -> DataFrame:
+    """REAL PNG decode over Arrow batches: inflate + unfilter, exact integer
+    stats (DEFLATE's actual compression ratio is pinned in pytest — it is a
+    zlib-level/version artifact, not an oracle-stable value)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                g = parse_png(bytes(b))
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": g.shape[1],
+                        "height": g.shape[0],
+                        "n_px": g.size,
+                        "px_min": int(g.min()),
+                        "px_max": int(g.max()),
+                        "px_sum": int(g.sum(dtype=np.int64)),
+                    }
+                )
+            if not rows:
+                continue
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_px", "px_min", "px_max"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return assets.mapInPandas(run, schema=_PNG_STATS_SCHEMA)

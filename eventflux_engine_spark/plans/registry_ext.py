@@ -2093,6 +2093,44 @@ def q_multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(MM.y4m_assets_from_documents(docs), every_ms=120)
 
 
+@register(
+    "multimodal_png_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id, text, length(text) AS n,
+             9 + doc_id % 8 AS w, 7 + doc_id % 6 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT asset_id, w, h,
+             list_transform(generate_series(0, w * h - 1),
+               j -> ascii(substr(text,
+                    cast((3 * j + 1) % n AS BIGINT) + 1, 1))) AS g
+      FROM dims
+    )
+    SELECT asset_id,
+           cast(w AS INTEGER) AS width,
+           cast(h AS INTEGER) AS height,
+           cast(w * h AS INTEGER) AS n_px,
+           cast(list_min(g) AS INTEGER) AS px_min,
+           cast(list_max(g) AS INTEGER) AS px_max,
+           cast(list_sum(g) AS BIGINT) AS px_sum
+    FROM px
+    """,
+    doc="REAL compressed-image codec: spec-true 8-bit grayscale PNGs "
+    "(big-endian chunk framing, CRC-32, zlib DEFLATE — stdlib, no external "
+    "codec) are synthesized from documents with the scanline filter cycling "
+    "None/Sub/Up/Average/Paeth per row, then decoded for real (CRC-verified "
+    "chunk walk, inflate, all-five-filter reconstruction). The oracle "
+    "recomputes every pixel from the source text, so the whole "
+    "deflate->inflate->unfilter chain is value-hash-gated. "
+    "multimodal.py:png_assets_from_documents/parse_png/decode_png_stats",
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_png_stats(MM.png_assets_from_documents(docs))
+
+
 # ---------------------------------------------------------------------------
 # table backends (cache_table.rs:20 / jdbc_table.rs:18 — sql/app.py WITH
 # ('backend'='cache'|'jdbc') + operators/tables.py)

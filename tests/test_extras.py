@@ -214,6 +214,86 @@ class TestMultimodal:
             cc = (np.arange(12) * w) // 12
             assert np.array_equal(parse_bmp(bytes(r["payload"])), g[np.ix_(rr, cc)])
 
+    def test_png_roundtrip_covers_all_five_filters(self):
+        # writer cycles filters 0..4 per row; any h >= 5 exercises every
+        # reconstruction path (None/Sub/Up/Average/Paeth)
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import _png_encode, parse_png
+
+        rng = np.random.default_rng(11)
+        for h, w in [(1, 1), (5, 9), (13, 17), (6, 300), (40, 3)]:
+            g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            assert np.array_equal(parse_png(_png_encode(g)), g), (h, w)
+
+    def test_png_deflate_actually_compresses(self):
+        # a repetitive raster must come out smaller than raw pixels (the
+        # compression claim itself, pinned here since it is not
+        # oracle-stable: zlib level/version changes the exact byte count)
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import _png_encode
+
+        g = np.tile(np.arange(64, dtype=np.uint8), (64, 1))
+        assert len(_png_encode(g)) < g.size // 4
+
+    def test_png_crc_corruption_detected(self):
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import _png_encode, parse_png
+
+        raw = bytearray(_png_encode(np.zeros((4, 4), np.uint8)))
+        raw[40] ^= 0xFF  # flip a byte inside IDAT
+        with pytest.raises(ValueError, match="CRC"):
+            parse_png(bytes(raw))
+
+    def test_png_multi_idat_and_ancillary_chunks(self):
+        # per spec a decoder concatenates consecutive IDAT chunks and skips
+        # unknown ancillary chunks — split our IDAT in two and insert tEXt
+        import struct
+
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import (
+            _PNG_SIG,
+            _png_chunk,
+            _png_encode,
+            parse_png,
+        )
+
+        g = np.arange(96, dtype=np.uint8).reshape(8, 12)
+        raw = _png_encode(g)
+        pos, chunks = 8, []
+        while pos < len(raw):
+            (ln,) = struct.unpack_from(">I", raw, pos)
+            chunks.append((raw[pos + 4 : pos + 8], raw[pos + 8 : pos + 8 + ln]))
+            pos += 12 + ln
+        out = [_PNG_SIG]
+        for tag, data in chunks:
+            if tag == b"IDAT":
+                mid = len(data) // 2
+                out.append(_png_chunk(b"tEXt", b"Comment\x00synthetic"))
+                out.append(_png_chunk(b"IDAT", data[:mid]))
+                out.append(_png_chunk(b"IDAT", data[mid:]))
+            else:
+                out.append(_png_chunk(tag, data))
+        assert np.array_equal(parse_png(b"".join(out)), g)
+
+    def test_png_rejects_non_png_and_wrong_color_type(self):
+        import struct
+
+        from eventflux_engine_spark.multimodal import (
+            _PNG_SIG,
+            _png_chunk,
+            parse_png,
+        )
+
+        with pytest.raises(ValueError, match="not a PNG"):
+            parse_png(b"GIF89a" + b"\x00" * 32)
+        rgb_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # color type 2
+        with pytest.raises(ValueError, match="grayscale"):
+            parse_png(_PNG_SIG + _png_chunk(b"IHDR", rgb_ihdr))
+
     def test_y4m_header_and_frame_walk(self, spark):
         # headers are spec-shaped, unknown tags skipped, frame count and
         # payload size agree with W/H/C420 math
