@@ -2329,3 +2329,52 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.count_distinct(F.col("user_id")).alias("n_users"),
     )
+
+
+@register(
+    "events_analytic_functions",
+    """
+    SELECT event_id, user_id,
+           cast(row_number() OVER w AS BIGINT) AS rn,
+           cast(floor(epoch(ts) - epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s,
+           lead(event_type) OVER w AS next_type,
+           cast(sum(cast(floor(value * 100) AS BIGINT)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_cents,
+           cast(rank() OVER (PARTITION BY user_id
+                ORDER BY floor(value * 100) DESC, event_id) AS BIGINT)
+             AS val_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="analytic (OVER-clause) function surface in one gate: row_number, "
+    "lag-gap seconds, lead, running integer-cents sum (ROWS UNBOUNDED "
+    "PRECEDING), and rank with a deterministic event_id tie-break — all "
+    "per-user partitions, so the plan is ONE hash exchange on user_id "
+    "feeding every window (Spark reuses the sort for the three "
+    "same-spec windows). The reference has no OVER clause; this is the "
+    "Spark-native analytics surface a reference user gains",
+)
+def q_events_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrank = Window.partitionBy("user_id").orderBy(
+        F.floor(F.col("value") * 100).desc(), "event_id"
+    )
+    gap = F.floor(
+        epoch_seconds(F.col("ts")) - epoch_seconds(F.lag("ts").over(w))
+    ).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        gap.alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .over(wrun)
+        .cast("bigint")
+        .alias("run_cents"),
+        F.rank().over(wrank).cast("bigint").alias("val_rank"),
+    )
