@@ -21,6 +21,7 @@ __all__ = [
     "group_agg_update_stream",
     "stream_stream_join",
     "enrichment_join_stream",
+    "asof_stream",
 ]
 
 
@@ -406,4 +407,97 @@ def time_window_stream(
             proc, out_schema, "buf string, hw bigint", "append",
             GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def asof_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_col: str = "value",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.joins.asof_join` — the realtime
+    (kdb ``aj``-style) as-of enrichment: every left event is joined against
+    the most recent right value with ``right_ts <= left_ts`` per key.
+
+    Both feeds are tagged and unioned into one keyed stream (the same
+    single-shuffle formulation as the batch operator); per-key state is ONE
+    (ts, value) pair — the latest right row seen — carried across
+    micro-batches. Within a batch the match is a vectorized
+    ``searchsorted`` against the (state-prefixed) right rows in
+    ``(ts, side)`` order, so ties (right_ts == left_ts) match, identical to
+    batch. O(1) state per key, append mode, no watermark needed.
+
+    Semantics note: this is PROCESSING-order as-of — a right row that
+    arrives in a later micro-batch than a left event it time-precedes
+    cannot retro-match (the left row was already emitted). Equal to the
+    batch result whenever the union feed is globally (ts, side)-ordered
+    across chunks; the realtime-divergence case is pinned in
+    TestAsofStream.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = [key] if isinstance(key, str) else list(key)
+    lcols = [f.name for f in left.schema.fields]
+    passthru = [f for f in left.schema.fields if f.name not in keys]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
+        + f", asof_{value_col} double, asof_ts double"
+    )
+
+    l_t = left.select(
+        *keys,
+        F.col(left_ts).cast("timestamp_ltz").cast("double").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("double").alias("__rv"),
+        *[F.col(f.name) for f in passthru],
+    )
+    r_t = right.select(
+        *keys,
+        F.col(right_ts).cast("timestamp_ltz").cast("double").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(value_col).cast("double").alias("__rv"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in passthru],
+    )
+    u = l_t.unionByName(r_t)
+
+    def proc(key_tuple, pdfs, state):
+        pdf = pd.concat(list(pdfs)).sort_values(["__ts", "__side"], kind="stable")
+        r = pdf[pdf["__side"] == 0]
+        rts = r["__ts"].to_numpy(dtype=np.float64)
+        rvs = r["__rv"].to_numpy(dtype=np.float64)
+        if state.exists:
+            sts, svl = state.get
+            rts = np.concatenate([[sts], rts])
+            rvs = np.concatenate([[svl], rvs])
+        lrows = pdf[pdf["__side"] == 1]
+        if len(lrows):
+            lts = lrows["__ts"].to_numpy(dtype=np.float64)
+            if len(rts):
+                idx = np.searchsorted(rts, lts, side="right") - 1
+                hit = idx >= 0
+                mts = np.where(hit, rts[np.maximum(idx, 0)], np.nan)
+                mvl = np.where(hit, rvs[np.maximum(idx, 0)], np.nan)
+            else:  # key has never seen a right row
+                mts = np.full(len(lts), np.nan)
+                mvl = np.full(len(lts), np.nan)
+            if tolerance_seconds is not None:
+                stale = lts - mts > float(tolerance_seconds)
+                mts = np.where(stale, np.nan, mts)
+                mvl = np.where(stale, np.nan, mvl)
+            out = pd.DataFrame({c: lrows[c].to_numpy() for c in lcols})
+            out[f"asof_{value_col}"] = mvl
+            out["asof_ts"] = mts
+            yield out
+        if len(rts):
+            state.update((float(rts[-1]), float(rvs[-1])))
+
+    return u.groupBy(*keys).applyInPandasWithState(
+        proc, out_schema, "ts double, val double", "append",
+        GroupStateTimeout.NoTimeout,
     )

@@ -130,3 +130,120 @@ class TestStreamingJoins:
         )
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
+
+
+class TestAsofStream:
+    """Streaming twin of operators.joins.asof_join: per-key last-right-value
+    carry via applyInPandasWithState, O(1) state per key."""
+
+    def _feeds(self, spark, tmpdir, trades, quotes, boundaries=()):
+        """Write both feeds chunked at the SAME time boundaries — the
+        documented condition for streaming == batch: every micro-batch pair
+        covers one time range, so all right rows preceding a left event land
+        in its batch or earlier. (Quantile chunking per feed — chunked_feed —
+        breaks this: the two feeds' row-count quantiles fall at different
+        times, which is exactly the realtime-divergence case below.)"""
+        tdir, qdir = os.path.join(tmpdir, "t"), os.path.join(tmpdir, "q")
+        os.makedirs(tdir), os.makedirs(qdir)
+        tpdf = spark.createDataFrame(
+            trades, "sym string, ts timestamp, qty int"
+        ).toPandas()
+        qpdf = spark.createDataFrame(
+            quotes, "sym string, ts timestamp, px double"
+        ).toPandas()
+        cuts = [pd.Timestamp.min, *map(pd.Timestamp, boundaries), pd.Timestamp.max]
+        for i in range(len(cuts) - 1):
+            for pdf_, d in ((tpdf, tdir), (qpdf, qdir)):
+                chunk = pdf_[(pdf_["ts"] >= cuts[i]) & (pdf_["ts"] < cuts[i + 1])]
+                chunk.to_parquet(
+                    os.path.join(d, f"chunk_{i:04d}.parquet"),
+                    index=False, coerce_timestamps="us",
+                    allow_truncated_timestamps=True,
+                )
+        left = stream_from_dir(spark, tdir, "sym string, ts timestamp, qty int")
+        right = stream_from_dir(spark, qdir, "sym string, ts timestamp, px double")
+        return left, right
+
+    def test_matches_batch_when_feed_is_time_ordered(self, spark, tmpdir):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        quotes = [
+            ("A", base + dt.timedelta(minutes=m), 100.0 + m) for m in range(0, 60, 5)
+        ] + [("B", base + dt.timedelta(minutes=2), 50.0)]
+        trades = [
+            ("A", base + dt.timedelta(minutes=m, seconds=30), m) for m in range(0, 60, 7)
+        ] + [("B", base + dt.timedelta(minutes=40), 99), ("C", base, 1)]
+        left, right = self._feeds(
+            spark, tmpdir, trades, quotes,
+            boundaries=(base + dt.timedelta(minutes=20), base + dt.timedelta(minutes=40)),
+        )
+        out = P.asof_stream(left, right, key="sym", value_col="px")
+        name = _drain(out, "asof_out", "append")
+        got = spark.sql(f"SELECT sym, qty, asof_px FROM {name}").toPandas()
+
+        from eventflux_engine_spark.operators.joins import asof_join
+
+        want = (
+            asof_join(
+                spark.createDataFrame(trades, "sym string, ts timestamp, qty int"),
+                spark.createDataFrame(quotes, "sym string, ts timestamp, px double"),
+                key="sym",
+            )
+            .select("sym", "qty", F.col("asof.px").alias("asof_px"))
+            .toPandas()
+        )
+        key = ["sym", "qty"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            want.sort_values(key).reset_index(drop=True),
+        )
+
+    def test_tolerance_and_tie_semantics(self, spark, tmpdir):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        quotes = [("A", base, 10.0), ("A", base + dt.timedelta(minutes=10), 20.0)]
+        trades = [
+            ("A", base + dt.timedelta(minutes=10), 1),   # tie -> 20.0
+            ("A", base + dt.timedelta(minutes=30), 2),   # 20 min stale -> null
+        ]
+        left, right = self._feeds(spark, tmpdir, trades, quotes)
+        out = P.asof_stream(
+            left, right, key="sym", value_col="px", tolerance_seconds=900
+        )
+        name = _drain(out, "asof_tol", "append")
+        got = {
+            r["qty"]: r["asof_px"]
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got[1] == 20.0
+        assert got[2] is None
+
+    def test_realtime_divergence_is_processing_order(self, spark, tmpdir):
+        # a right row arriving in a LATER chunk than a left event it
+        # time-precedes cannot retro-match — the documented realtime
+        # semantics (batch would match it)
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        tdir, qdir = os.path.join(tmpdir, "t"), os.path.join(tmpdir, "q")
+        trades = spark.createDataFrame(
+            [("A", base + dt.timedelta(minutes=5), 1)],
+            "sym string, ts timestamp, qty int",
+        )
+        quotes = spark.createDataFrame(
+            [("A", base, 10.0)], "sym string, ts timestamp, px double"
+        )
+        chunked_feed(trades, tdir, 1, ["ts"])
+        os.makedirs(qdir)
+        left = stream_from_dir(spark, tdir, "sym string, ts timestamp, qty int")
+        right = stream_from_dir(spark, qdir, "sym string, ts timestamp, px double")
+        out = P.asof_stream(left, right, key="sym", value_col="px")
+        q = out.writeStream.format("memory").queryName("asof_rt").outputMode("append").start()
+        q.processAllAvailable()  # batch 1: trade only — quote not yet arrived
+        quotes.coalesce(1).write.mode("append").parquet(qdir)
+        q.processAllAvailable()  # batch 2: late quote — no retro-match
+        q.stop()
+        rows = spark.sql("SELECT * FROM asof_rt").collect()
+        assert len(rows) == 1 and rows[0]["asof_px"] is None
