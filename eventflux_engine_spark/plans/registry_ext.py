@@ -1483,7 +1483,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey,
-           round(cast(value AS DOUBLE), 2) AS part_value
+           cast(value AS DOUBLE) AS part_value
     FROM partval
     WHERE cast(value AS DOUBLE)
           > 1.6 * (SELECT cast(sum(value) AS DOUBLE) / count(*) FROM partval)
@@ -1495,7 +1495,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold is sf-invariant where Q11's fixed fraction degenerates to "
     "empty as the part count grows) — the Spark plan is agg -> "
     "crossJoin(broadcast 1-row stats) -> filter, the standard "
-    "scalar-subquery decorrelation",
+    "scalar-subquery decorrelation. part_value is the exact decimal cast "
+    "ONCE to double — a post-cast round(x, 2) flipped a half-cent boundary "
+    "between engines at sf3.0 (Spark rounds the binary double, DuckDB the "
+    "decimal), the scale run that caught it",
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1511,7 +1514,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").cast("double") > 1.6 * F.col("__mean"))
         .select(
             "l_partkey",
-            F.round(F.col("value").cast("double"), 2).alias("part_value"),
+            F.col("value").cast("double").alias("part_value"),
         )
     )
 
