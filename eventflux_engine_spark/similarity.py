@@ -312,9 +312,26 @@ NEAR_DUP_BANDS_WIDE: tuple[tuple[int, ...], ...] = (
 )
 NEAR_DUP_ADAPT_N = 10_000
 
+# Third tier (round 5, found by the sf10 spot check): at 200k vectors the
+# 1024-bucket bands saturate — occupancy ~n/1024 grows linearly, so
+# candidate pairs grow QUADRATICALLY again (measured 795.7 s at sf10 =
+# 166x wall for 100x rows vs sf0.1). 5 bands x 14 planes = 16384
+# buckets/band pins occupancy back to ~n/16384 (~12 at sf10); recall at
+# cos>=0.99 stays 1-(1-p^14)^5 ~ 0.976 at p=0.955. The general rule this
+# ladder implements: band WIDTH must grow ~log2(n) to hold per-bucket
+# mass constant — each tier adds bits as the corpus grows 10x.
+NEAR_DUP_BANDS_XWIDE: tuple[tuple[int, ...], ...] = tuple(
+    tuple(range(14 * i, 14 * (i + 1))) for i in range(5)
+)
+NEAR_DUP_ADAPT_N2 = 100_000
+
 
 def near_dup_bands_for(n: int) -> tuple[tuple[int, ...], ...]:
-    return NEAR_DUP_BANDS if n < NEAR_DUP_ADAPT_N else NEAR_DUP_BANDS_WIDE
+    if n < NEAR_DUP_ADAPT_N:
+        return NEAR_DUP_BANDS
+    if n < NEAR_DUP_ADAPT_N2:
+        return NEAR_DUP_BANDS_WIDE
+    return NEAR_DUP_BANDS_XWIDE
 
 
 def quantize_with_norm(
@@ -372,9 +389,10 @@ def embedding_near_dup_lsh(
     standard candidates→verify join of a production dedup pipeline).
 
     ``bands=None`` (default) picks the layout from the corpus size
-    (:func:`near_dup_bands_for`): narrow 2x4 below
-    ``NEAR_DUP_ADAPT_N`` vectors, wide 3x8 above — per-bucket mass stays
-    bounded as the corpus grows, recall ~unchanged at the 0.99 threshold.
+    (:func:`near_dup_bands_for`): 2x4 below ``NEAR_DUP_ADAPT_N`` vectors,
+    4x10 to ``NEAR_DUP_ADAPT_N2``, 5x14 above — band width grows ~log2(n)
+    so per-bucket mass stays bounded as the corpus grows (candidates stay
+    ~linear), recall ~unchanged at the 0.99 threshold.
     """
     if bands is None:
         bands = near_dup_bands_for(emb.count())
@@ -449,12 +467,12 @@ def embedding_near_dup_lsh_sql(
             for bi, plane_ids in enumerate(bands)
         ]
     else:
-        guard_narrow = (
-            f"(SELECT count(*) FROM {emb_cte}) < {NEAR_DUP_ADAPT_N}"
-        )
+        n_sq = f"(SELECT count(*) FROM {emb_cte})"
+        guard_narrow = f"{n_sq} < {NEAR_DUP_ADAPT_N}"
         guard_wide = (
-            f"(SELECT count(*) FROM {emb_cte}) >= {NEAR_DUP_ADAPT_N}"
+            f"{n_sq} >= {NEAR_DUP_ADAPT_N} AND {n_sq} < {NEAR_DUP_ADAPT_N2}"
         )
+        guard_xwide = f"{n_sq} >= {NEAR_DUP_ADAPT_N2}"
         selects = [
             f"SELECT {bi} AS band, {qlsh_bucket_sql('embedding', plane_ids)} AS bkey,"
             f" vec_id, embedding FROM {emb_cte} WHERE {guard_narrow}"
@@ -463,6 +481,10 @@ def embedding_near_dup_lsh_sql(
             f"SELECT {bi} AS band, {qlsh_bucket_sql('embedding', plane_ids)} AS bkey,"
             f" vec_id, embedding FROM {emb_cte} WHERE {guard_wide}"
             for bi, plane_ids in enumerate(NEAR_DUP_BANDS_WIDE)
+        ] + [
+            f"SELECT {bi} AS band, {qlsh_bucket_sql('embedding', plane_ids)} AS bkey,"
+            f" vec_id, embedding FROM {emb_cte} WHERE {guard_xwide}"
+            for bi, plane_ids in enumerate(NEAR_DUP_BANDS_XWIDE)
         ]
     banded = "\nUNION ALL\n".join(selects)
     qcos = qcosine_sql("a.embedding", "b.embedding")

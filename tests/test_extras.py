@@ -435,6 +435,56 @@ class TestEmbeddingNearDupLSH:
         assert len(got) >= 0.9 * len(truth)  # banded-LSH recall
         assert len(truth) > 0
 
+    def test_xwide_tier_recall_vs_bruteforce(self, spark):
+        """The >=100k-vector tier (5 bands x 14 planes, added after the
+        sf10 spot check measured 166x wall for 100x rows on the saturated
+        1024-bucket layout) must hold recall when forced onto the small
+        corpus — same no-false-positives + recall contract as the default
+        layout, theoretical 1-(1-p^14)^5 ~ 0.98 at the 0.99 threshold."""
+        from eventflux_engine_spark.similarity import (
+            NEAR_DUP_BANDS_XWIDE,
+            augmented_embeddings,
+            embedding_near_dup_lsh,
+            qcosine,
+        )
+
+        emb = augmented_embeddings(spark.read.parquet(f"{SF}/embeddings.parquet"))
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_near_dup_lsh(
+                emb, 0.99, bands=NEAR_DUP_BANDS_XWIDE
+            ).collect()
+        }
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        truth = {
+            (r["vec_a"], r["vec_b"])
+            for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .filter(qcosine(F.col("ea"), F.col("eb")) >= 0.99)
+            .collect()
+        }
+        assert got <= truth
+        assert len(got) >= 0.9 * len(truth)
+
+    def test_band_tier_ladder(self):
+        from eventflux_engine_spark.similarity import (
+            NEAR_DUP_ADAPT_N,
+            NEAR_DUP_ADAPT_N2,
+            NEAR_DUP_BANDS,
+            NEAR_DUP_BANDS_WIDE,
+            NEAR_DUP_BANDS_XWIDE,
+            near_dup_bands_for,
+        )
+
+        assert near_dup_bands_for(NEAR_DUP_ADAPT_N - 1) is NEAR_DUP_BANDS
+        assert near_dup_bands_for(NEAR_DUP_ADAPT_N) is NEAR_DUP_BANDS_WIDE
+        assert near_dup_bands_for(NEAR_DUP_ADAPT_N2 - 1) is NEAR_DUP_BANDS_WIDE
+        assert near_dup_bands_for(NEAR_DUP_ADAPT_N2) is NEAR_DUP_BANDS_XWIDE
+        # plane ids are disjoint within each layout (independent sign bits)
+        for layout in (NEAR_DUP_BANDS, NEAR_DUP_BANDS_WIDE, NEAR_DUP_BANDS_XWIDE):
+            flat = [j for band in layout for j in band]
+            assert len(flat) == len(set(flat))
+
 
 class TestLshBucketCap:
     def test_degenerate_bucket_capped(self, spark):
