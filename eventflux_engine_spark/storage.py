@@ -60,3 +60,35 @@ def read_bucket_sorted(spark: SparkSession, path: str, bucket: int) -> DataFrame
         .coalesce(1)
         .sortWithinPartitions("conv_id", "ts", "turn_idx")
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = N_BUCKETS,
+    bucket_col: str = "conv_id",
+    sort_cols: tuple = ("conv_id", "ts"),
+    path: str | None = None,
+) -> None:
+    """Native Spark bucketed table — the ``bucket(conv_id)`` Iceberg layout
+    expressed so CATALYST knows it.
+
+    ``write_transcripts`` realizes the physical layout (hive dirs) but the
+    optimizer cannot see that a directory is hash-complete; a catalog
+    bucketed table carries the bucketing spec in metadata, so downstream
+    ``groupBy(bucket_col)`` aggregations and joins between co-bucketed
+    tables plan with NO Exchange — the output distribution is satisfied by
+    the scan itself. This is the mechanism that makes "pay the shuffle once
+    at write time" literal: TestNativeBucketedTables asserts the
+    exchange-free plans. ``sortBy`` additionally records per-file
+    (conv_id, ts) order — the streaming/NFA ``input_sorted`` contract.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(*sort_cols)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

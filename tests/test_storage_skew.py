@@ -124,3 +124,61 @@ class TestPlanShapes:
         assert "SortMergeJoin" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in plan
+
+
+class TestNativeBucketedTables:
+    """Catalog-backed bucketBy tables: the optimizer-visible form of the
+    bucket(conv_id) layout. The claims in BENCH/BASELINE.md ("pay the
+    shuffle once at write time; queries are embarrassingly parallel across
+    buckets") are pinned here as PLAN SHAPES: no Exchange in a keyed agg
+    over one bucketed table, none on either side of a co-bucketed join."""
+
+    @pytest.fixture()
+    def bucketed_pair(self, spark, tmpdir):
+        t = transcripts_df(spark, SF)
+        storage.write_bucketed_table(
+            t, "tb_left", n_buckets=8, path=os.path.join(tmpdir, "l")
+        )
+        agg = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+        storage.write_bucketed_table(
+            agg, "tb_right", n_buckets=8, sort_cols=("conv_id",),
+            path=os.path.join(tmpdir, "r"),
+        )
+        yield "tb_left", "tb_right"
+        spark.sql("DROP TABLE IF EXISTS tb_left")
+        spark.sql("DROP TABLE IF EXISTS tb_right")
+
+    def test_keyed_agg_over_bucketed_table_has_no_exchange(
+        self, spark, bucketed_pair
+    ):
+        left, _ = bucketed_pair
+        plan = (
+            spark.table(left)
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # bucketing satisfies the distribution
+
+    def test_co_bucketed_join_has_no_exchange(self, spark, bucketed_pair):
+        left, right = bucketed_pair
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                spark.table(left)
+                .join(spark.table(right), "conv_id")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides read pre-distributed
+
+    def test_bucketed_table_values_roundtrip(self, spark, bucketed_pair):
+        left, _ = bucketed_pair
+        t = transcripts_df(spark, SF)
+        assert spark.table(left).count() == t.count()
+        a = spark.table(left).agg(F.sum(F.crc32(F.col("text")))).first()[0]
+        b = t.agg(F.sum(F.crc32(F.col("text")))).first()[0]
+        assert a == b  # per-turn text integrity through the bucketed write
