@@ -600,18 +600,19 @@ def sample_frames(assets: DataFrame, every_ms: int) -> DataFrame:
     return assets.mapInPandas(run, schema=_FRAME_SCHEMA)
 
 
-# -- REAL compressed-image codec: PNG (8-bit grayscale, DEFLATE) -------------
+# -- REAL compressed-image codec: PNG (8-bit gray + RGB, DEFLATE) ------------
 # The first COMPRESSED format decoded for real: PNG's compression is zlib —
 # Python's stdlib — so a spec-true encoder/decoder needs no external
 # library. The writer emits real PNGs (8-byte signature, big-endian chunk
-# framing, CRC-32 per chunk, IHDR color type 0 / bit depth 8, one
-# zlib-deflated IDAT) and CYCLES the scanline filter 0..4 per row
-# (None/Sub/Up/Average/Paeth), so every reconstruction path is exercised by
-# round-trip tests on its own output. The reader walks chunks generically
-# (CRC-verified, unknown ancillary chunks skipped, multi-IDAT concatenated
-# per spec) and reconstructs all five filter types, so it reads third-party
-# grayscale PNGs too. Only multi-channel/interlaced PNG and JPEG remain
-# with the PIL stub.
+# framing, CRC-32 per chunk, IHDR color type 0 grayscale or 2 truecolor at
+# bit depth 8, one zlib-deflated IDAT) and CYCLES the scanline filter 0..4
+# per row (None/Sub/Up/Average/Paeth), so every reconstruction path is
+# exercised by round-trip tests on its own output. The reader walks chunks
+# generically (CRC-verified, unknown ancillary chunks skipped, multi-IDAT
+# concatenated per spec) and reconstructs all five filter types at both
+# pixel widths (the left/upper-left references step bpp bytes back per
+# spec), so it reads third-party gray and RGB PNGs. Only interlaced /
+# 16-bit / palette PNG and JPEG remain with the PIL stub.
 
 import zlib
 
@@ -631,19 +632,23 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def _png_encode(gray: "np.ndarray", level: int = 6) -> bytes:
-    """Encode an (h, w) uint8 array as an 8-bit grayscale PNG. Filter type
-    cycles r % 5 per scanline — all spec-valid, chosen for path coverage
-    (a production encoder would pick per-row by minimum-sum heuristic)."""
+def _png_encode(img: "np.ndarray", level: int = 6) -> bytes:
+    """Encode an (h, w) uint8 array as an 8-bit grayscale PNG, or an
+    (h, w, 3) array as 8-bit truecolor (color type 2). Filter type cycles
+    r % 5 per scanline — all spec-valid, chosen for path coverage (a
+    production encoder would pick per-row by minimum-sum heuristic). Per
+    spec, filter references step one PIXEL (= bpp bytes) left."""
     import struct
 
-    h, w = gray.shape
-    g = gray.astype(np.int16)
-    prev = np.zeros(w, dtype=np.int16)
+    rgb = img.ndim == 3
+    h, w = img.shape[:2]
+    bpp = 3 if rgb else 1
+    g = img.reshape(h, w * bpp).astype(np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
     out = []
     for r in range(h):
         row = g[r]
-        left = np.concatenate(([0], row[:-1]))
+        left = np.concatenate((np.zeros(bpp, np.int16), row[:-bpp]))
         ft = r % 5
         if ft == 0:
             filt = row
@@ -653,12 +658,12 @@ def _png_encode(gray: "np.ndarray", level: int = 6) -> bytes:
             filt = row - prev
         elif ft == 3:  # Average
             filt = row - (left + prev) // 2
-        else:  # Paeth: with bpp=1, predictor(left, up, upper-left)
-            ul = np.concatenate(([0], prev[:-1]))
+        else:  # Paeth: predictor(left, up, upper-left), bpp bytes back
+            ul = np.concatenate((np.zeros(bpp, np.int16), prev[:-bpp]))
             filt = row - _paeth(left, prev, ul)
         out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if rgb else 0, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -675,9 +680,11 @@ def _paeth(a, b, c):
 
 
 def parse_png(raw: bytes) -> "np.ndarray":
-    """Spec-true reader for 8-bit grayscale non-interlaced PNGs: chunk walk
-    with CRC verification, IDAT concatenation, zlib inflate, and per-row
-    reconstruction of all five filter types. Returns an (h, w) uint8 array."""
+    """Spec-true reader for 8-bit grayscale (color type 0) and truecolor
+    (color type 2) non-interlaced PNGs: chunk walk with CRC verification,
+    IDAT concatenation, zlib inflate, and per-row reconstruction of all
+    five filter types with the spec's bpp-byte left step. Returns (h, w)
+    uint8 for gray, (h, w, 3) for RGB."""
     import struct
 
     if raw[:8] != _PNG_SIG:
@@ -694,11 +701,12 @@ def parse_png(raw: bytes) -> "np.ndarray":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+            if depth != 8 or ctype not in (0, 2) or (comp, filt, inter) != (0, 0, 0):
                 raise ValueError(
-                    "decoder expects 8-bit grayscale non-interlaced PNG"
+                    "decoder expects 8-bit grayscale or truecolor "
+                    "non-interlaced PNG"
                 )
-            dims = (h, w)
+            dims = (h, w, 3 if ctype == 2 else 1)
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
@@ -706,41 +714,42 @@ def parse_png(raw: bytes) -> "np.ndarray":
         pos += 12 + ln  # unknown ancillary chunks (tEXt, pHYs, ...) skipped
     if dims is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    h, w = dims
+    h, w, bpp = dims
+    wb = w * bpp  # scanline bytes
     stream = zlib.decompress(b"".join(idat))
-    if len(stream) != h * (w + 1):
+    if len(stream) != h * (wb + 1):
         raise ValueError("decompressed size does not match dimensions")
-    out = np.zeros((h, w), dtype=np.int16)
-    prev = np.zeros(w, dtype=np.int16)
+    out = np.zeros((h, wb), dtype=np.int16)
+    prev = np.zeros(wb, dtype=np.int16)
     for r in range(h):
-        ft = stream[r * (w + 1)]
+        ft = stream[r * (wb + 1)]
         row = np.frombuffer(
-            stream, np.uint8, count=w, offset=r * (w + 1) + 1
+            stream, np.uint8, count=wb, offset=r * (wb + 1) + 1
         ).astype(np.int16)
         if ft == 0:
             cur = row
-        elif ft == 1:  # Sub with bpp=1 is a running sum along the row
-            cur = np.cumsum(row) % 256
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] — a running
+            # sum per byte lane; reshape (w, bpp) and cumsum down the rows
+            cur = (np.cumsum(row.reshape(w, bpp), axis=0) % 256).reshape(wb)
         elif ft == 2:
             cur = (row + prev) % 256
         elif ft == 3:  # Average: sequential left-dependency, short rows
-            cur = np.zeros(w, dtype=np.int16)
-            a = 0
-            for x in range(w):
-                a = (row[x] + (a + prev[x]) // 2) % 256
-                cur[x] = a
+            cur = np.zeros(wb, dtype=np.int16)
+            for x in range(wb):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (row[x] + (a + prev[x]) // 2) % 256
         elif ft == 4:
-            cur = np.zeros(w, dtype=np.int16)
-            a = 0
-            for x in range(w):
-                c = prev[x - 1] if x else 0
-                a = (row[x] + _paeth(a, int(prev[x]), int(c))) % 256
-                cur[x] = a
+            cur = np.zeros(wb, dtype=np.int16)
+            for x in range(wb):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                cur[x] = (row[x] + _paeth(int(a), int(prev[x]), int(c))) % 256
         else:
             raise ValueError(f"unknown filter type {ft}")
         out[r] = cur
         prev = cur
-    return out.astype(np.uint8)
+    px = out.astype(np.uint8)
+    return px.reshape(h, w, 3) if bpp == 3 else px
 
 
 def png_assets_from_documents(docs: DataFrame) -> DataFrame:

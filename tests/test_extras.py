@@ -226,6 +226,21 @@ class TestMultimodal:
             g = rng.integers(0, 256, (h, w), dtype=np.uint8)
             assert np.array_equal(parse_png(_png_encode(g)), g), (h, w)
 
+    def test_png_rgb_roundtrip_all_filters(self):
+        # color type 2 (truecolor): filters reference bpp=3 bytes back per
+        # spec — a bpp=1 decoder reads RGB garbage, so this pins the lane
+        # math for Sub/Average/Paeth as well as the IHDR color-type switch
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import _png_encode, parse_png
+
+        rng = np.random.default_rng(13)
+        for h, w in [(1, 1), (5, 7), (11, 23), (6, 128)]:
+            c = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            got = parse_png(_png_encode(c))
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, c), (h, w)
+
     def test_png_deflate_actually_compresses(self):
         # a repetitive raster must come out smaller than raw pixels (the
         # compression claim itself, pinned here since it is not
@@ -290,9 +305,12 @@ class TestMultimodal:
 
         with pytest.raises(ValueError, match="not a PNG"):
             parse_png(b"GIF89a" + b"\x00" * 32)
-        rgb_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # color type 2
-        with pytest.raises(ValueError, match="grayscale"):
-            parse_png(_PNG_SIG + _png_chunk(b"IHDR", rgb_ihdr))
+        pal_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)  # palette
+        with pytest.raises(ValueError, match="grayscale or truecolor"):
+            parse_png(_PNG_SIG + _png_chunk(b"IHDR", pal_ihdr))
+        i16_ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)  # 16-bit
+        with pytest.raises(ValueError, match="8-bit"):
+            parse_png(_PNG_SIG + _png_chunk(b"IHDR", i16_ihdr))
 
     def test_y4m_header_and_frame_walk(self, spark):
         # headers are spec-shaped, unknown tags skipped, frame count and
