@@ -1050,3 +1050,129 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("top_word_n") * 5 > F.col("n_words"))
         ).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (round 5): keyword top-k over the corpus. The idf is the
+# RATIONAL odds form (N - df + 0.5)/(df + 0.5) WITHOUT the log: every input
+# is an exact integer, so each per-term weight is one exactly-rounded IEEE
+# expression — bit-identical across engines (ln/libm differs in the last
+# ulp between the JVM and DuckDB, which can flip a 4-dp hash digit or even
+# reorder near-tied docs in the top-k; the established qcosine discipline
+# applied to retrieval). Addition order is FIXED by pivoting the query
+# terms into columns and summing them literally.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("window", "join", "stream")
+_BM25_K1 = "cast(1.2 as double)"
+_BM25_B = "cast(0.75 as double)"
+
+
+def _bm25_w_sql(term: str) -> str:
+    """Per-term weight with explicit parenthesization — the Spark column
+    expression below mirrors this tree node for node."""
+    return (
+        f"((cast(n_docs AS DOUBLE) - cast(df_{term} AS DOUBLE) + 0.5)"
+        f" / (cast(df_{term} AS DOUBLE) + 0.5))"
+        f" * ((cast(tf_{term} AS DOUBLE) * ({_BM25_K1} + cast(1 AS DOUBLE)))"
+        f" / (cast(tf_{term} AS DOUBLE) + {_BM25_K1}"
+        f" * ((cast(1 AS DOUBLE) - {_BM25_B})"
+        f" + ({_BM25_B} * cast(dl AS DOUBLE)) / avgdl)))"
+    )
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             cast(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dls
+    ),
+    tfs AS (
+      SELECT doc_id,
+             {", ".join(f"count(*) FILTER (tok = '{t}') AS tf_{t}" for t in _BM25_TERMS)}
+      FROM toks GROUP BY doc_id
+    ),
+    dfs AS (
+      SELECT {", ".join(f"count(*) FILTER (tf_{t} > 0) AS df_{t}" for t in _BM25_TERMS)}
+      FROM tfs
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             {" + ".join(
+                 f"(CASE WHEN tf_{t} > 0 THEN {_bm25_w_sql(t)} ELSE cast(0 AS DOUBLE) END)"
+                 for t in _BM25_TERMS)}
+               AS score
+      FROM tfs t, dls d, corpus, dfs
+      WHERE t.doc_id = d.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-k keyword retrieval (query: window, join, stream) with "
+    "the rational odds idf — no transcendental in the score, so every "
+    "weight is an exactly-rounded IEEE expression and the top-k order is "
+    "bit-stable across engines. Plan: one explode->count shuffle for tf, "
+    "dl joined on doc_id, corpus stats + per-term df as broadcast 1-row "
+    "joins, fixed-order summation via per-term columns, "
+    "TakeOrderedAndProject for the k=20 head — at 100 TB the only "
+    "fact-sized exchanges are the two token aggregations",
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    K1 = F.lit(1.2).cast("double")
+    B = F.lit(0.75).cast("double")
+    one = F.lit(1).cast("double")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tfs = toks.groupBy("doc_id").agg(
+        *[
+            F.count(F.when(F.col("tok") == t, 1)).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    dfs = tfs.agg(
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    j = (
+        tfs.join(dls, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(dfs))
+    )
+
+    def w(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        df_ = F.col(f"df_{t}").cast("double")
+        idf = (F.col("n_docs").cast("double") - df_ + F.lit(0.5)) / (
+            df_ + F.lit(0.5)
+        )
+        tfn = (tf * (K1 + one)) / (
+            tf + K1 * ((one - B) + (B * F.col("dl").cast("double")) / F.col("avgdl"))
+        )
+        return F.when(F.col(f"tf_{t}") > 0, idf * tfn).otherwise(
+            F.lit(0).cast("double")
+        )
+
+    score = w(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + w(t)
+    return (
+        j.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
