@@ -197,3 +197,134 @@ def text_features_pandas(texts: pd.Series) -> pd.DataFrame:
             "upper_ratio": upper_ratio,
         }
     )
+
+
+# -- distributed BPE vocabulary training (round 5) ---------------------------
+# Iterative merges over word-frequency tables: per round, count adjacent
+# symbol pairs weighted by word count, pick the most frequent pair
+# (deterministic tie-break), merge it everywhere, repeat. Symbols are
+# BRACKET-ENCODED ('<a><b><c>') so the merge is a plain left-to-right
+# string replace('<L><R>', '<LR>') — non-overlapping sequential scan IS
+# greedy BPE on this encoding (runs merge pairwise: '<a><a><a>' ->
+# '<aa><a>'), and the full '<sym>' brackets make substring collisions
+# impossible. Spark and DuckDB replace() share these scan semantics, so
+# the whole training loop is value-hashable with NO floats anywhere.
+
+
+def bpe_encode_word(word_col: Column) -> Column:
+    """'abc' -> '<a><b><c>' (each char bracket-wrapped)."""
+    return F.regexp_replace(word_col, "(.)", "<$1>")
+
+
+def bpe_symbols(enc_col: Column) -> Column:
+    """'<a><bc>' -> ['a', 'bc']."""
+    return F.split(F.expr(f"trim(BOTH '<>' FROM {enc_col._jc.toString()})"), "><")
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 6, text_col: str = "text") -> DataFrame:
+    """Train BPE merges on a document corpus; returns one row per merge
+    round: (round, left, right, merged, pair_count).
+
+    Scale shape: the corpus collapses to a DISTINCT-WORD frequency table
+    once (one shuffle over tokens — at 100 TB the vocabulary table is
+    tiny relative to the corpus), then every round is pair-explode →
+    count (one small shuffle over the vocab) + the argmax pair as a
+    broadcast 1-row cross join + a narrow replace. localCheckpoint per
+    round keeps the lineage flat (the k-means discipline). No floats, no
+    collect in the loop body beyond the checkpoint materialization Spark
+    itself performs.
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(bpe_encode_word(F.col("w")).alias("s"), "wc")
+    )
+    words = words.localCheckpoint()
+    spark = docs.sparkSession
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        syms = bpe_symbols(F.col("s"))
+        n = F.size(syms)
+        pairs = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, n - 1),
+                        F.slice(syms, 2, n - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .select("l", "r", "cnt")
+        )
+        top = top.localCheckpoint()
+        merges.append(
+            top.select(
+                F.lit(rnd).alias("round"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        pat = F.concat(F.lit("<"), F.col("l"), F.lit("><"), F.col("r"), F.lit(">"))
+        rep = F.concat(F.lit("<"), F.col("l"), F.col("r"), F.lit(">"))
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(F.replace(F.col("s"), pat, rep).alias("s"), "wc")
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_train_sql(n_merges: int = 6, docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_train` — the merge loop unrolled as CTE
+    rounds (the trained-IVF discipline): same bracket encoding, same
+    pair explode/count, same (cnt DESC, l, r) argmax, same replace."""
+    ctes = [
+        f"""w0 AS (
+      SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, count(*) AS wc
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM {docs_rel}) t
+      WHERE w <> '' GROUP BY w
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, sum(wc) AS cnt
+      FROM (SELECT string_split(trim(s, '<>'), '><') AS syms, wc FROM {prev}) t,
+           unnest(generate_series(1, len(syms) - 1)) u(i)
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"t{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"""w{r} AS (
+      SELECT replace(s, '<' || l || '><' || r || '>', '<' || l || r || '>') AS s, wc
+      FROM {prev}, t{r}
+    )"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, l AS left, r AS right, l || r AS merged, "
+        f"cast(cnt AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows

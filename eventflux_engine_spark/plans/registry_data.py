@@ -1176,3 +1176,19 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "text_bpe_train",
+    TX.bpe_train_sql(6),
+    doc="distributed BPE vocabulary training, 6 merge rounds: corpus -> "
+    "distinct-word frequency table (ONE shuffle over tokens; the vocab is "
+    "tiny vs the corpus at 100 TB), then per round a pair-count shuffle "
+    "over the vocab + argmax pair as a broadcast 1-row cross join + a "
+    "narrow bracket-encoded replace ('<L><R>' -> '<LR>' under "
+    "left-to-right scan IS greedy BPE, substring-collision-free). "
+    "Integer/string outputs only - no float anywhere in the loop; the "
+    "oracle unrolls the rounds as CTEs (the trained-IVF discipline)",
+)
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=6)

@@ -1192,3 +1192,48 @@ class TestRepetitionFilter:
             assert r.flagged == expected
             assert 0 <= r.n_dup_bigrams <= r.n_bigrams
             assert 1 <= r.top_word_n <= r.n_words
+
+
+class TestBpeTrain:
+    """Distributed BPE training: hand-computed merges on a tiny corpus,
+    greedy run semantics, and determinism of the argmax tie-break."""
+
+    def test_hand_computed_merges(self, spark):
+        from eventflux_engine_spark.functions.text import bpe_train
+
+        # corpus: 'low' x3, 'lower' x1  ->  round 1: (l,o) count 4;
+        # round 2: (lo,w) count 4; round 3: (low,e) 1 vs (e,r) 1 ->
+        # tie-break lexicographic on (l, r): ('e','r') < ('low','e')
+        docs = spark.createDataFrame(
+            [("low low low lower",)], "text string"
+        )
+        rows = {
+            r["round"]: (r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in bpe_train(docs, n_merges=3).collect()
+        }
+        assert rows[1] == ("l", "o", "lo", 4)
+        assert rows[2] == ("lo", "w", "low", 4)
+        assert rows[3] == ("e", "r", "er", 1)
+
+    def test_run_merging_is_greedy_pairwise(self, spark):
+        from eventflux_engine_spark.functions.text import bpe_train
+
+        # 'aaaa' x2, 'aaa' x1: round-1 (a,a) count = 3*2 + 2 = 8; greedy
+        # pairing leaves [aa,aa] (x2) and [aa,a]; round 2's top pair is
+        # (aa,aa), count 2 — NOT (aa,a): overlapping occurrences never
+        # double-count under the sequential-scan merge
+        docs = spark.createDataFrame([("aaaa aaaa aaa",)], "text string")
+        rows = {
+            r["round"]: (r["left"], r["right"], r["pair_count"])
+            for r in bpe_train(docs, n_merges=2).collect()
+        }
+        assert rows[1] == ("a", "a", 8)
+        assert rows[2] == ("aa", "aa", 2)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from eventflux_engine_spark.functions.text import bpe_train
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = [tuple(r) for r in bpe_train(docs.repartition(1), 4).collect()]
+        b = [tuple(r) for r in bpe_train(docs.repartition(16), 4).collect()]
+        assert sorted(a) == sorted(b)
