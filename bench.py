@@ -59,6 +59,9 @@ HEADLINE = [
     # round 5 (late): single-shuffle as-of join — the carry-forward plan's
     # cost is the thing being pinned (a range-join formulation explodes)
     "events_asof_attribution",
+    # round 5 (late): retrieval + vocab training over the corpus
+    "text_bm25_topk",
+    "text_bpe_train",
 ]
 
 CEP_TURNS = int(os.environ.get("SPARK_GRAFT_CEP_TURNS", "2000000"))
