@@ -23,6 +23,7 @@ __all__ = [
     "in_table",
     "asof_join",
     "range_join_bucketed",
+    "salted_join",
 ]
 
 
@@ -213,3 +214,39 @@ def range_join_bucketed(
         .filter((F.col("__e") >= F.col(start_col)) & (F.col("__e") < F.col(end_col)))
         .drop("__b", "__e")
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    salt_buckets: int = 16,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffled equi-join: completes the skew toolkit next to
+    ``salted_group_agg`` (aggregation) and the LSH bucket cap (pair
+    generation).
+
+    A shuffled join on a skewed key pins the hot key's entire fact mass on
+    ONE reducer. Salting splits it: the fact side gets a deterministic salt
+    in [0, salt_buckets) (from ``salt_source`` when given — stable plans —
+    else a seeded uniform), the dim side is EXPLODED once per salt value
+    (dim rows replicate xsalt_buckets, fact rows never replicate), and the
+    join key becomes (key, salt) — the hot key now spreads over
+    ``salt_buckets`` reducers. Results are identical to the unsalted join
+    (oracle-gated); use when the dim side is too big to broadcast AND AQE's
+    runtime skew split is unavailable (e.g. inside a cached/reused subplan
+    or a stream-static join).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = (
+        F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets))
+        if salt_source
+        else F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    f = facts.withColumn("__salt", salt.cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return f.join(d, on=keys + ["__salt"], how=how).drop("__salt")

@@ -2381,3 +2381,46 @@ def q_events_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("run_cents"),
         F.rank().over(wrank).cast("bigint").alias("val_rank"),
     )
+
+
+@register(
+    "events_salted_join_rollup",
+    """
+    WITH user_dim AS (
+      SELECT user_id, count(*) AS user_n,
+             cast(sum(cast(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS user_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           cast(sum(d.user_n) AS BIGINT) AS weight_sum,
+           cast(sum(d.user_cents) AS BIGINT) AS cents_sum
+    FROM events e JOIN user_dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type
+    """,
+    doc="skew-safe salted equi-join (operators/joins.py salted_join): the "
+    "fact side gets a deterministic salt, the dim side explodes once per "
+    "salt value, and the join key becomes (user_id, salt) - a hot user "
+    "spreads over 16 reducers instead of pinning one. The oracle is the "
+    "PLAIN unsalted join: salting must be result-invariant, which is "
+    "exactly what the gate hashes. Completes the skew toolkit beside "
+    "salted_group_agg and the LSH bucket cap",
+)
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_n"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("user_cents"),
+    )
+    j = salted_join(ev.select("event_type", "user_id", "event_id"), dim,
+                    on="user_id", salt_source="event_id")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_n").cast("bigint").alias("weight_sum"),
+        F.sum("user_cents").cast("bigint").alias("cents_sum"),
+    )

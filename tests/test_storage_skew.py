@@ -182,3 +182,45 @@ class TestNativeBucketedTables:
         a = spark.table(left).agg(F.sum(F.crc32(F.col("text")))).first()[0]
         b = t.agg(F.sum(F.crc32(F.col("text")))).first()[0]
         assert a == b  # per-turn text integrity through the bucketed write
+
+
+class TestSaltedJoin:
+    def test_identical_to_plain_join_under_heavy_skew(self, spark):
+        from eventflux_engine_spark.operators.joins import salted_join
+
+        # 50% of facts on ONE key
+        facts = spark.range(10_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("fact_id"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        salted = (
+            salted_join(facts, dim, on="k", salt_source="fact_id")
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw"))
+        )
+        plain = (
+            facts.join(dim, "k")
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw"))
+        )
+        key = lambda r: (r["k"], r["n"], r["sw"])  # noqa: E731
+        assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+    def test_outer_rows_survive(self, spark):
+        from eventflux_engine_spark.operators.joins import salted_join
+
+        facts = spark.range(10).select(F.col("id").alias("k"))
+        dim = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        out = salted_join(facts, dim, on="k", how="left").collect()
+        assert len(out) == 10
+        assert sum(1 for r in out if r["w"] is None) == 5
+
+    def test_fact_side_never_replicates(self, spark):
+        from eventflux_engine_spark.operators.joins import salted_join
+
+        facts = spark.range(1000).select((F.col("id") % 10).alias("k"),
+                                         F.col("id").alias("fact_id"))
+        dim = spark.range(10).select(F.col("id").alias("k"))
+        assert salted_join(facts, dim, on="k", salt_source="fact_id").count() == 1000
