@@ -117,7 +117,7 @@ class ExactlyOnceParquetSink:
     def committed_epochs(self) -> list[int]:
         return sorted(
             int(f.split(".")[0]) for f in os.listdir(self.commit_dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and not f.startswith("segment_")
         )
 
     def commits(self) -> list[dict]:
@@ -127,10 +127,74 @@ class ExactlyOnceParquetSink:
                 out.append(json.load(f))
         return out
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Read ONLY committed epochs (uncommitted data dirs are invisible)."""
+    # -- compaction (the streaming small-files problem) -----------------------
+    # A micro-batch sink accumulates one directory (and >=1 file) per epoch;
+    # at production cadence that is thousands of small files per day — the
+    # classic downstream-scan killer. compact() folds all committed epochs
+    # up to a high-water mark into one coalesced segment under the SAME
+    # atomic-marker protocol as epochs: write segment data, THEN publish the
+    # marker; a crash mid-compaction leaves an invisible orphan, readers
+    # keep serving the raw epochs. read() resolves the latest committed
+    # segment + the epochs above its high-water mark, so compaction is
+    # fully concurrent with ongoing appends and repeatable (Iceberg's
+    # rewrite_data_files contract).
+
+    def _segment_marker(self, seg_id: int) -> str:
+        return os.path.join(self.commit_dir, f"segment_{seg_id:020d}.json")
+
+    def committed_segments(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.commit_dir)):
+            if f.startswith("segment_") and f.endswith(".json"):
+                with open(os.path.join(self.commit_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> dict:
+        """Fold every committed epoch (and any previous segment) below the
+        current high-water mark into one ``target_files``-file segment.
+        Returns the published segment marker."""
         epochs = self.committed_epochs()
-        paths = [os.path.join(self.data_dir, f"epoch={e}") for e in epochs]
+        if not epochs:
+            raise ValueError("nothing to compact")
+        hwm = epochs[-1]
+        seg_id = hwm + 1
+        df = self.read(spark)  # latest segment + tail epochs = current truth
+        seg_dir = os.path.join(self.data_dir, f"segment={seg_id}")
+        t0 = time.time()
+        df.coalesce(target_files).write.mode("overwrite").parquet(seg_dir)
+        lineage = _footer_lineage(seg_dir)
+        marker = {
+            "segment_id": seg_id,
+            "covers_epochs_through": hwm,
+            "rows": sum(p["rows"] for p in lineage),
+            "partitions": lineage,
+            "duration_s": round(time.time() - t0, 3),
+            "committed_at": time.time(),
+        }
+        tmp = self._segment_marker(seg_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.rename(tmp, self._segment_marker(seg_id))  # atomic publish
+        return marker
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read ONLY committed data: the latest committed segment (if any)
+        plus the committed epochs ABOVE its high-water mark."""
+        segs = self.committed_segments()
+        floor_epoch = -1
+        paths = []
+        if segs:
+            latest = segs[-1]
+            floor_epoch = latest["covers_epochs_through"]
+            paths.append(
+                os.path.join(self.data_dir, f"segment={latest['segment_id']}")
+            )
+        paths.extend(
+            os.path.join(self.data_dir, f"epoch={e}")
+            for e in self.committed_epochs()
+            if e > floor_epoch
+        )
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             raise ValueError(f"no committed epochs in {self.table_dir}")

@@ -859,3 +859,55 @@ class TestSocketConnectors:
         finally:
             q.stop()
             srv.close()
+
+
+class TestSinkCompaction:
+    """compact(): fold committed epochs into one segment under the same
+    atomic-marker protocol; reads stay correct mid-compaction, across
+    further appends, and over repeated compactions."""
+
+    def _feed_epochs(self, spark, sink, t, n_chunks, start=0):
+        pdf = t.toPandas().sort_values(["ts", "conv_id", "turn_idx"])
+        bounds = [round(i * len(pdf) / n_chunks) for i in range(n_chunks + 1)]
+        for i in range(n_chunks):
+            chunk = spark.createDataFrame(
+                pdf.iloc[bounds[i]:bounds[i + 1]], schema=t.schema
+            )
+            sink.write_batch(chunk, start + i)
+
+    def test_compaction_preserves_rows_and_survives_appends(self, spark, tmpdir):
+        t = transcripts_df(spark, SF)
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        self._feed_epochs(spark, sink, t.filter(F.col("turn_idx") < 4), 5)
+        before = sink.read(spark)
+        n_before = before.count()
+
+        marker = sink.compact(spark)
+        assert marker["rows"] == n_before
+        assert marker["covers_epochs_through"] == 4
+        after = sink.read(spark)
+        assert after.count() == n_before
+        assert after.exceptAll(before).count() == 0
+        # physically consolidated: the segment is ONE file
+        assert len(marker["partitions"]) == 1
+
+        # appends after compaction land in epochs above the high-water mark
+        tail = t.filter(F.col("turn_idx") >= 4)
+        sink.write_batch(tail, 10)
+        assert sink.read(spark).count() == t.count()
+
+        # second compaction folds segment + tail epochs
+        m2 = sink.compact(spark)
+        assert m2["rows"] == t.count()
+        assert sink.read(spark).count() == t.count()
+
+    def test_crash_mid_compaction_is_invisible(self, spark, tmpdir):
+        t = transcripts_df(spark, SF).limit(50)
+        sink = ExactlyOnceParquetSink(os.path.join(tmpdir, "table"))
+        self._feed_epochs(spark, sink, t, 3)
+        n = sink.read(spark).count()
+        # simulate a crash: segment data written, marker NEVER published
+        seg_dir = os.path.join(sink.data_dir, "segment=99")
+        sink.read(spark).coalesce(1).write.mode("overwrite").parquet(seg_dir)
+        assert sink.read(spark).count() == n  # orphan dir never served
+        assert sink.committed_segments() == []
