@@ -85,8 +85,14 @@ def main() -> None:
         n_gates = "all"
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH — throughput and N→4N scaling efficiency
+    # BENCH/BASELINE.md is hand-curated (multi-draw tables, pooled medians,
+    # scaling narrative). A full run appends its raw draw to BENCH/draws.jsonl
+    # and renders a standalone report to BENCH/scaling_latest.md — fold the
+    # new draw row into BASELINE.md's draws table by hand.
+    with open(os.path.join(REPO, "BENCH", "draws.jsonl"), "a") as f:
+        f.write(json.dumps({"per_exec": per_exec, "N1": res[1]["jobs"], "N4": res[4]["jobs"], "eff": effs}) + "\n")
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
+        f.write(f"""# BENCH — throughput and N→4N scaling efficiency (latest single draw)
 
 **Target** (BASELINE.json north_rule): turns/sec sustained throughput on the
 transcript CEP pipeline (pattern-match + session-window agg) with output
@@ -155,7 +161,8 @@ turns/s in-process (local[32]) and {res[4]['jobs']['pattern_only']['turns_per_se
 on the 4-executor emulation.
 """)
     print("efficiencies:", {k: round(v, 3) for k, v in effs.items()})
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/scaling_latest.md + appended BENCH/draws.jsonl")
+    print("NOTE: BENCH/BASELINE.md is hand-curated; add this draw to its table.")
 
 
 if __name__ == "__main__":
