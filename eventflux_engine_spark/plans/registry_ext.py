@@ -2424,3 +2424,104 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_n").cast("bigint").alias("weight_sum"),
         F.sum("user_cents").cast("bigint").alias("cents_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable HyperLogLog distinct sketch (operators/approx.py)
+# ---------------------------------------------------------------------------
+
+def _hll_oracle() -> str:
+    from ..operators import approx as APX
+
+    rho = APX.hll_rho_case_sql(f"(h // {APX.HLL_M})")
+    top = 1 << (APX.HLL_R + 1)
+    num = APX.HLL_M * APX.HLL_M * top
+    return f"""
+    WITH hashed AS (
+      SELECT event_type,
+             cast('0x' || substr(md5('hll:' || cast(user_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    fields AS (
+      SELECT event_type, h % {APX.HLL_M} AS j, {rho} AS rho FROM hashed
+    ),
+    regs AS (
+      SELECT event_type, j, max(rho) AS reg FROM fields GROUP BY event_type, j
+    ),
+    allregs AS (
+      SELECT '__all__' AS event_type, j, max(reg) AS reg FROM regs GROUP BY j
+    ),
+    merged AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+    folded AS (
+      SELECT event_type, count(*) AS occupied,
+             sum((cast(1 AS BIGINT) << ({APX.HLL_R + 1} - reg))) AS s_occ
+      FROM merged GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type, occupied,
+             cast({num} AS BIGINT)
+               // (s_occ + ({APX.HLL_M} - occupied) * cast({top} AS BIGINT)) AS t1
+      FROM folded
+    ),
+    est AS (
+      SELECT event_type AS etype,
+             (t1 // {APX.HLL_ALPHA_DEN}) * {APX.HLL_ALPHA_NUM}
+               + ((t1 % {APX.HLL_ALPHA_DEN}) * {APX.HLL_ALPHA_NUM})
+                 // {APX.HLL_ALPHA_DEN} AS est_q,
+             cast(occupied AS BIGINT) AS occupied
+      FROM t
+    ),
+    exact AS (
+      SELECT event_type AS etype, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', count(DISTINCT user_id) FROM events
+    )
+    SELECT e.etype, cast(e.est_q AS BIGINT) AS est_q, e.occupied,
+           x.exact_distinct
+    FROM est e JOIN exact x ON e.etype = x.etype
+    """
+
+
+@register(
+    "events_hll_distinct",
+    _hll_oracle(),
+    doc="mergeable HyperLogLog distinct-user sketch (operators/approx.py "
+    "hll_registers/hll_estimate; ≙ reference approx distinctCount "
+    "aggregator): md5-derived 48-bit hash, m=256 registers via plain "
+    "groupBy().max() (map-side partial collapses each partition to "
+    "|groups|x256 rows), integer-exact raw estimator so the DuckDB twin "
+    "hashes bit-identically. The Spark path deliberately builds DAILY "
+    "sketches first and merges them with max(reg) while the oracle "
+    "sketches the month directly from raw rows — a value-hash MATCH "
+    "proves merge-of-sketches == sketch-of-union, the property that lets "
+    "a 100 TB pipeline roll daily sketches into monthly counts without "
+    "rescanning. The '__all__' row is a second merge level (across "
+    "event types); exact_distinct sits beside est_q to expose accuracy",
+)
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import approx as APX
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = APX.hll_registers(ev, "user_id", ["event_type", "day"])
+    bytype = daily.groupBy("event_type", "j").agg(F.max("reg").alias("reg"))
+    allr = (
+        bytype.groupBy("j")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("__all__").alias("event_type"), "j", "reg")
+    )
+    merged = bytype.select("event_type", "j", "reg").unionByName(allr)
+    est = APX.hll_estimate(merged, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_distinct")).select(
+        F.lit("__all__").alias("event_type"), "exact_distinct"
+    )
+    exact_u = exact.unionByName(exact_all)
+    return est.join(F.broadcast(exact_u), "event_type").select(
+        F.col("event_type").alias("etype"), "est_q", "occupied", "exact_distinct"
+    )
