@@ -62,6 +62,10 @@ HEADLINE = [
     # round 5 (late): retrieval + vocab training over the corpus
     "text_bm25_topk",
     "text_bpe_train",
+    # round 5 (final): mergeable HLL sketch (one full-data shuffle w/
+    # map-side partial max) and the PLTE codec path
+    "events_hll_distinct",
+    "multimodal_png_palette",
 ]
 
 CEP_TURNS = int(os.environ.get("SPARK_GRAFT_CEP_TURNS", "2000000"))

@@ -14,11 +14,14 @@ engine treats them as first-class columns:
   ``np.frombuffer`` view: RIFF/WAVE PCM16 (:func:`decode_wav_stats`),
   24-bit uncompressed BMP (:func:`decode_bmp_stats`, with a real
   nearest-neighbor :func:`resize_images` over decoded pixels), and
-  YUV4MPEG2 video (:func:`sample_frames` walks FRAME records). All are
-  value-hash-gated end to end. Only compressed-codec decode (PNG/JPEG via
-  PIL) remains stubbed behind an import-try — the one path that genuinely
-  needs an external library; its Spark-side plumbing — schema, batch
-  shape, partitioning, UDF signatures — is real and tested.
+  YUV4MPEG2 video (:func:`sample_frames` walks FRAME records). PNG — the
+  first COMPRESSED format — is decoded for real too (:func:`parse_png`:
+  zlib is stdlib), covering 8-bit grayscale, truecolor, indexed-color via
+  PLTE, and 16-bit grayscale. All are value-hash-gated end to end. Only
+  interlaced (Adam7) PNG and JPEG (PIL) remain stubbed behind an
+  import-try — the paths that genuinely need an external library; their
+  Spark-side plumbing — schema, batch shape, partitioning, UDF
+  signatures — is real and tested.
 
 Deterministic derivation: assets derive from ``documents`` (payload =
 ASCII header + UTF-8 text bytes), so every aggregate over payload bytes has
@@ -609,10 +612,12 @@ def sample_frames(assets: DataFrame, every_ms: int) -> DataFrame:
 # per row (None/Sub/Up/Average/Paeth), so every reconstruction path is
 # exercised by round-trip tests on its own output. The reader walks chunks
 # generically (CRC-verified, unknown ancillary chunks skipped, multi-IDAT
-# concatenated per spec) and reconstructs all five filter types at both
-# pixel widths (the left/upper-left references step bpp bytes back per
-# spec), so it reads third-party gray and RGB PNGs. Only interlaced /
-# 16-bit / palette PNG and JPEG remain with the PIL stub.
+# concatenated per spec) and reconstructs all five filter types at every
+# pixel width — gray8 (bpp 1), gray16 (bpp 2, big-endian samples),
+# truecolor (bpp 3) and indexed-color via PLTE lookup (bpp 1) — the
+# left/upper-left references step bpp bytes back per spec, so it reads
+# third-party PNGs of all four shapes. Only interlaced (Adam7) PNG and
+# JPEG remain with the PIL stub — the genuinely-external codecs.
 
 import zlib
 
@@ -632,19 +637,15 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def _png_encode(img: "np.ndarray", level: int = 6) -> bytes:
-    """Encode an (h, w) uint8 array as an 8-bit grayscale PNG, or an
-    (h, w, 3) array as 8-bit truecolor (color type 2). Filter type cycles
-    r % 5 per scanline — all spec-valid, chosen for path coverage (a
-    production encoder would pick per-row by minimum-sum heuristic). Per
-    spec, filter references step one PIXEL (= bpp bytes) left."""
-    import struct
-
-    rgb = img.ndim == 3
-    h, w = img.shape[:2]
-    bpp = 3 if rgb else 1
-    g = img.reshape(h, w * bpp).astype(np.int16)
-    prev = np.zeros(w * bpp, dtype=np.int16)
+def _png_filter_scanlines(g: "np.ndarray", bpp: int) -> bytes:
+    """Apply the spec's byte-wise scanline filters to (h, wb) byte rows,
+    cycling filter type r % 5 — all spec-valid, chosen for path coverage
+    (a production encoder would pick per-row by minimum-sum heuristic).
+    Per spec, the left/upper-left references step one PIXEL (= bpp bytes)
+    back, and the filters operate on BYTES regardless of sample depth."""
+    h, wb = g.shape
+    g = g.astype(np.int16)
+    prev = np.zeros(wb, dtype=np.int16)
     out = []
     for r in range(h):
         row = g[r]
@@ -663,11 +664,54 @@ def _png_encode(img: "np.ndarray", level: int = 6) -> bytes:
             filt = row - _paeth(left, prev, ul)
         out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if rgb else 0, 0, 0, 0)
+    return b"".join(out)
+
+
+def _png_encode(img: "np.ndarray", level: int = 6) -> bytes:
+    """Encode an (h, w) uint8 array as an 8-bit grayscale PNG, an
+    (h, w, 3) uint8 array as 8-bit truecolor (color type 2), or an
+    (h, w) uint16 array as 16-bit grayscale (big-endian samples per
+    spec)."""
+    import struct
+
+    rgb = img.ndim == 3
+    deep = img.dtype == np.uint16
+    h, w = img.shape[:2]
+    if deep:
+        bpp, depth, ctype = 2, 16, 0
+        g = np.ascontiguousarray(img.astype(">u2")).view(np.uint8).reshape(h, w * 2)
+    else:
+        bpp = 3 if rgb else 1
+        depth, ctype = 8, 2 if rgb else 0
+        g = img.reshape(h, w * bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(out), level))
+        + _png_chunk(b"IDAT", zlib.compress(_png_filter_scanlines(g, bpp), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_encode_palette(
+    idx: "np.ndarray", palette: "np.ndarray", level: int = 6
+) -> bytes:
+    """Encode an (h, w) uint8 index raster with a (k, 3) uint8 palette as
+    an 8-bit indexed-color PNG (color type 3, PLTE chunk before IDAT per
+    spec). Scanlines carry palette INDEXES (bpp = 1)."""
+    import struct
+
+    h, w = idx.shape
+    if idx.max(initial=0) >= len(palette):
+        raise ValueError("palette index out of range")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(
+            b"IDAT", zlib.compress(_png_filter_scanlines(idx.reshape(h, w), 1), level)
+        )
         + _png_chunk(b"IEND", b"")
     )
 
@@ -680,16 +724,20 @@ def _paeth(a, b, c):
 
 
 def parse_png(raw: bytes) -> "np.ndarray":
-    """Spec-true reader for 8-bit grayscale (color type 0) and truecolor
-    (color type 2) non-interlaced PNGs: chunk walk with CRC verification,
-    IDAT concatenation, zlib inflate, and per-row reconstruction of all
-    five filter types with the spec's bpp-byte left step. Returns (h, w)
-    uint8 for gray, (h, w, 3) for RGB."""
+    """Spec-true reader for non-interlaced PNGs: 8-bit grayscale (color
+    type 0), truecolor (2), indexed-color (3, PLTE lookup) and 16-bit
+    grayscale (type 0 depth 16, big-endian samples). Chunk walk with CRC
+    verification, IDAT concatenation, zlib inflate, and per-row
+    reconstruction of all five filter types with the spec's bpp-byte left
+    step (filters are byte-wise at every depth). Returns (h, w) uint8 for
+    gray8, (h, w, 3) uint8 for RGB and palette, (h, w) uint16 for
+    gray16. Interlaced (Adam7) streams are rejected — JPEG/PIL remains
+    the one genuinely-external stub."""
     import struct
 
     if raw[:8] != _PNG_SIG:
         raise ValueError("not a PNG file")
-    pos, idat, dims = 8, [], None
+    pos, idat, dims, plte, depth, ctype = 8, [], None, None, 8, 0
     while pos + 8 <= len(raw):
         (ln,) = struct.unpack_from(">I", raw, pos)
         tag = raw[pos + 4 : pos + 8]
@@ -701,12 +749,21 @@ def parse_png(raw: bytes) -> "np.ndarray":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype not in (0, 2) or (comp, filt, inter) != (0, 0, 0):
+            ok = (depth == 8 and ctype in (0, 2, 3)) or (
+                depth == 16 and ctype == 0
+            )
+            if not ok or (comp, filt, inter) != (0, 0, 0):
                 raise ValueError(
-                    "decoder expects 8-bit grayscale or truecolor "
-                    "non-interlaced PNG"
+                    "decoder expects non-interlaced 8-bit gray/truecolor/"
+                    "palette or 16-bit grayscale PNG"
                 )
-            dims = (h, w, 3 if ctype == 2 else 1)
+            # bpp = BYTES per pixel: gray8/palette 1, gray16 2, rgb8 3
+            bpp = 2 if depth == 16 else (3 if ctype == 2 else 1)
+            dims = (h, w, bpp)
+        elif tag == b"PLTE":
+            if ln % 3 != 0 or ln == 0:
+                raise ValueError("PLTE length must be a positive multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
@@ -714,6 +771,8 @@ def parse_png(raw: bytes) -> "np.ndarray":
         pos += 12 + ln  # unknown ancillary chunks (tEXt, pHYs, ...) skipped
     if dims is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if ctype == 3 and plte is None:
+        raise ValueError("indexed-color PNG without a PLTE chunk")
     h, w, bpp = dims
     wb = w * bpp  # scanline bytes
     stream = zlib.decompress(b"".join(idat))
@@ -749,6 +808,16 @@ def parse_png(raw: bytes) -> "np.ndarray":
         out[r] = cur
         prev = cur
     px = out.astype(np.uint8)
+    if ctype == 3:
+        flat = px.reshape(h * w)
+        if flat.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[flat].reshape(h, w, 3)
+    if depth == 16:  # big-endian sample pairs -> uint16
+        return (
+            px.reshape(h, w, 2).astype(np.uint16)[:, :, 0] * 256
+            + px.reshape(h, w, 2)[:, :, 1]
+        )
     return px.reshape(h, w, 3) if bpp == 3 else px
 
 
@@ -819,3 +888,88 @@ def decode_png_stats(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(run, schema=_PNG_STATS_SCHEMA)
+
+
+def png_palette_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL indexed-color PNG assets from ``documents``: a
+    16-entry palette derived from doc_id (entry i = ((17i + d%7) % 256,
+    (29i + d%11) % 256, (53i + d%13) % 256)) and a (6+d%5) x (8+d%7)
+    index raster whose pixel j (row-major) is text byte ((5j + 2) mod n)
+    mod 16 — every decoded RGB statistic is recomputable from the source
+    text, value-hash-gating the PLTE path end to end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w = 8 + did % 7
+                h = 6 + did % 5
+                body = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                idx = (
+                    body[(5 * np.arange(h * w) + 2) % len(body)] % 16
+                ).reshape(h, w).astype(np.uint8)
+                i = np.arange(16)
+                pal = np.stack(
+                    [
+                        (17 * i + did % 7) % 256,
+                        (29 * i + did % 11) % 256,
+                        (53 * i + did % 13) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                ids.append(did)
+                payloads.append(_png_encode_palette(idx, pal))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": payloads,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=_PNG_SCHEMA)
+
+
+_PNG_RGB_STATS_SCHEMA = (
+    "asset_id long, width int, height int, n_px int, r_sum bigint, "
+    "g_sum bigint, b_sum bigint, px_min int, px_max int"
+)
+
+
+def decode_png_rgb_stats(assets: DataFrame) -> DataFrame:
+    """REAL decode of RGB-producing PNGs (truecolor or palette) over Arrow
+    batches: per-channel exact integer sums + global min/max."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                px = parse_png(bytes(b))
+                if px.ndim != 3:  # pragma: no cover - guard
+                    raise ValueError("expected an RGB-producing PNG")
+                sums = px.sum(axis=(0, 1), dtype=np.int64)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "n_px": px.shape[0] * px.shape[1],
+                        "r_sum": int(sums[0]),
+                        "g_sum": int(sums[1]),
+                        "b_sum": int(sums[2]),
+                        "px_min": int(px.min()),
+                        "px_max": int(px.max()),
+                    }
+                )
+            if not rows:
+                continue
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_px", "px_min", "px_max"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return assets.mapInPandas(run, schema=_PNG_RGB_STATS_SCHEMA)

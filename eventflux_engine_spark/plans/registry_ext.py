@@ -2525,3 +2525,52 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact_u), "event_type").select(
         F.col("event_type").alias("etype"), "est_q", "occupied", "exact_distinct"
     )
+
+
+@register(
+    "multimodal_png_palette",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id, doc_id AS d, text, length(text) AS n,
+             8 + doc_id % 7 AS w, 6 + doc_id % 5 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT asset_id, d, w, h,
+             list_transform(generate_series(0, w * h - 1),
+               j -> ascii(substr(text,
+                    cast((5 * j + 2) % n AS BIGINT) + 1, 1)) % 16) AS idx
+      FROM dims
+    ),
+    chan AS (
+      SELECT asset_id, w, h,
+             list_transform(idx, i -> (17 * i + d % 7) % 256) AS r,
+             list_transform(idx, i -> (29 * i + d % 11) % 256) AS g,
+             list_transform(idx, i -> (53 * i + d % 13) % 256) AS b
+      FROM px
+    )
+    SELECT asset_id,
+           cast(w AS INTEGER) AS width,
+           cast(h AS INTEGER) AS height,
+           cast(w * h AS INTEGER) AS n_px,
+           cast(list_sum(r) AS BIGINT) AS r_sum,
+           cast(list_sum(g) AS BIGINT) AS g_sum,
+           cast(list_sum(b) AS BIGINT) AS b_sum,
+           cast(least(list_min(r), list_min(g), list_min(b)) AS INTEGER)
+             AS px_min,
+           cast(greatest(list_max(r), list_max(g), list_max(b)) AS INTEGER)
+             AS px_max
+    FROM chan
+    """,
+    doc="REAL indexed-color PNG decode (PLTE path): spec-true color-type-3 "
+    "PNGs (16-entry palette derived from doc_id, index raster from text "
+    "bytes, filters still cycling None/Sub/Up/Average/Paeth) are decoded "
+    "through the CRC-verified chunk walk + inflate + unfilter + palette "
+    "lookup; the oracle recomputes every RGB channel from the source text "
+    "and the palette formula, value-hash-gating the PLTE chain end to "
+    "end. With this, only interlaced PNG and JPEG remain external stubs. "
+    "multimodal.py:png_palette_assets_from_documents/parse_png",
+)
+def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_png_rgb_stats(MM.png_palette_assets_from_documents(docs))

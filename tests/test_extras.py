@@ -305,12 +305,85 @@ class TestMultimodal:
 
         with pytest.raises(ValueError, match="not a PNG"):
             parse_png(b"GIF89a" + b"\x00" * 32)
-        pal_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)  # palette
-        with pytest.raises(ValueError, match="grayscale or truecolor"):
-            parse_png(_PNG_SIG + _png_chunk(b"IHDR", pal_ihdr))
-        i16_ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)  # 16-bit
-        with pytest.raises(ValueError, match="8-bit"):
-            parse_png(_PNG_SIG + _png_chunk(b"IHDR", i16_ihdr))
+        # interlaced (Adam7) and 16-bit truecolor stay rejected by name
+        inter_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+        with pytest.raises(ValueError, match="non-interlaced"):
+            parse_png(_PNG_SIG + _png_chunk(b"IHDR", inter_ihdr))
+        deep_rgb_ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+        with pytest.raises(ValueError, match="non-interlaced"):
+            parse_png(_PNG_SIG + _png_chunk(b"IHDR", deep_rgb_ihdr))
+
+    def test_png_palette_roundtrip_all_filters(self):
+        # color type 3: scanlines carry palette INDEXES (bpp=1); decode
+        # reconstructs indexes then expands through PLTE to (h, w, 3)
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import (
+            _png_encode_palette,
+            parse_png,
+        )
+
+        rng = np.random.default_rng(17)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        for h, w in [(1, 1), (5, 9), (12, 30), (7, 4)]:
+            idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+            got = parse_png(_png_encode_palette(idx, pal))
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, pal[idx]), (h, w)
+
+    def test_png_palette_requires_plte(self):
+        import struct
+
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import (
+            _PNG_SIG,
+            _png_chunk,
+            _png_encode_palette,
+            parse_png,
+        )
+
+        pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+        raw = _png_encode_palette(np.zeros((3, 3), np.uint8), pal)
+        pos, out = 8, [_PNG_SIG]
+        while pos < len(raw):
+            (ln,) = struct.unpack_from(">I", raw, pos)
+            tag = raw[pos + 4 : pos + 8]
+            if tag != b"PLTE":
+                out.append(_png_chunk(tag, raw[pos + 8 : pos + 8 + ln]))
+            pos += 12 + ln
+        with pytest.raises(ValueError, match="PLTE"):
+            parse_png(b"".join(out))
+
+    def test_png_gray16_roundtrip_all_filters(self):
+        # depth 16: two big-endian bytes per sample, filters step bpp=2
+        # bytes back — a bpp=1 decoder shreds the high/low byte lanes
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import _png_encode, parse_png
+
+        rng = np.random.default_rng(19)
+        for h, w in [(1, 1), (5, 6), (11, 13), (6, 64)]:
+            d = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+            got = parse_png(_png_encode(d))
+            assert got.dtype == np.uint16
+            assert np.array_equal(got, d), (h, w)
+
+    def test_png_gray16_big_endian_hand_vector(self):
+        # one hand pin so endianness is anchored to the spec, not to a
+        # round-trip symmetry: 0x0102 must serialize high byte first
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import _png_encode, parse_png
+        import zlib as _z
+
+        raw = _png_encode(np.array([[0x0102]], dtype=np.uint16))
+        # IDAT payload = 1 filter byte + the two sample bytes
+        idat_off = raw.index(b"IDAT") + 4
+        (ln,) = __import__("struct").unpack_from(">I", raw, idat_off - 8)
+        stream = _z.decompress(raw[idat_off : idat_off + ln])
+        assert stream == b"\x00\x01\x02"
+        assert parse_png(raw)[0, 0] == 0x0102
 
     def test_y4m_header_and_frame_walk(self, spark):
         # headers are spec-shaped, unknown tags skipped, frame count and
