@@ -17,11 +17,11 @@ engine treats them as first-class columns:
   YUV4MPEG2 video (:func:`sample_frames` walks FRAME records). PNG — the
   first COMPRESSED format — is decoded for real too (:func:`parse_png`:
   zlib is stdlib), covering 8-bit grayscale, truecolor, indexed-color via
-  PLTE, and 16-bit grayscale. All are value-hash-gated end to end. Only
-  interlaced (Adam7) PNG and JPEG (PIL) remain stubbed behind an
-  import-try — the paths that genuinely need an external library; their
-  Spark-side plumbing — schema, batch shape, partitioning, UDF
-  signatures — is real and tested.
+  PLTE, and 16-bit grayscale, in both sequential and Adam7-interlaced
+  streams. All are value-hash-gated end to end. Only JPEG (PIL) remains
+  stubbed behind an import-try — the one path that genuinely needs an
+  external library; its Spark-side plumbing — schema, batch shape,
+  partitioning, UDF signatures — is real and tested.
 
 Deterministic derivation: assets derive from ``documents`` (payload =
 ASCII header + UTF-8 text bytes), so every aggregate over payload bytes has
@@ -616,8 +616,10 @@ def sample_frames(assets: DataFrame, every_ms: int) -> DataFrame:
 # pixel width — gray8 (bpp 1), gray16 (bpp 2, big-endian samples),
 # truecolor (bpp 3) and indexed-color via PLTE lookup (bpp 1) — the
 # left/upper-left references step bpp bytes back per spec, so it reads
-# third-party PNGs of all four shapes. Only interlaced (Adam7) PNG and
-# JPEG remain with the PIL stub — the genuinely-external codecs.
+# third-party PNGs of all four shapes, sequential or Adam7-interlaced
+# (seven independently-filtered sub-images scattered on the §8.2 pass
+# grid). Only JPEG remains with the PIL stub — the genuinely-external
+# codec.
 
 import zlib
 
@@ -667,11 +669,30 @@ def _png_filter_scanlines(g: "np.ndarray", bpp: int) -> bytes:
     return b"".join(out)
 
 
-def _png_encode(img: "np.ndarray", level: int = 6) -> bytes:
+def _adam7_filtered_stream(g: "np.ndarray", h: int, w: int, bpp: int) -> bytes:
+    """Filter the (h, w*bpp) byte raster as seven Adam7 sub-images in pass
+    order (empty passes contribute nothing, filter state resets per pass)."""
+    pix = g.reshape(h, w, bpp)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pix[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        parts.append(
+            _png_filter_scanlines(
+                np.ascontiguousarray(sub).reshape(ph, pw * bpp), bpp
+            )
+        )
+    return b"".join(parts)
+
+
+def _png_encode(img: "np.ndarray", level: int = 6, interlace: bool = False) -> bytes:
     """Encode an (h, w) uint8 array as an 8-bit grayscale PNG, an
     (h, w, 3) uint8 array as 8-bit truecolor (color type 2), or an
     (h, w) uint16 array as 16-bit grayscale (big-endian samples per
-    spec)."""
+    spec). ``interlace=True`` writes an Adam7 stream (interlace method 1:
+    seven independently-filtered sub-images in spec pass order)."""
     import struct
 
     rgb = img.ndim == 3
@@ -684,17 +705,25 @@ def _png_encode(img: "np.ndarray", level: int = 6) -> bytes:
         bpp = 3 if rgb else 1
         depth, ctype = 8, 2 if rgb else 0
         g = img.reshape(h, w * bpp)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, int(interlace))
+    raw = (
+        _adam7_filtered_stream(g, h, w, bpp)
+        if interlace
+        else _png_filter_scanlines(g, bpp)
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(_png_filter_scanlines(g, bpp), level))
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def _png_encode_palette(
-    idx: "np.ndarray", palette: "np.ndarray", level: int = 6
+    idx: "np.ndarray",
+    palette: "np.ndarray",
+    level: int = 6,
+    interlace: bool = False,
 ) -> bytes:
     """Encode an (h, w) uint8 index raster with a (k, 3) uint8 palette as
     an 8-bit indexed-color PNG (color type 3, PLTE chunk before IDAT per
@@ -704,14 +733,18 @@ def _png_encode_palette(
     h, w = idx.shape
     if idx.max(initial=0) >= len(palette):
         raise ValueError("palette index out of range")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
+    g = idx.reshape(h, w)
+    raw = (
+        _adam7_filtered_stream(g, h, w, 1)
+        if interlace
+        else _png_filter_scanlines(g, 1)
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
-        + _png_chunk(
-            b"IDAT", zlib.compress(_png_filter_scanlines(idx.reshape(h, w), 1), level)
-        )
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -723,59 +756,26 @@ def _paeth(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def parse_png(raw: bytes) -> "np.ndarray":
-    """Spec-true reader for non-interlaced PNGs: 8-bit grayscale (color
-    type 0), truecolor (2), indexed-color (3, PLTE lookup) and 16-bit
-    grayscale (type 0 depth 16, big-endian samples). Chunk walk with CRC
-    verification, IDAT concatenation, zlib inflate, and per-row
-    reconstruction of all five filter types with the spec's bpp-byte left
-    step (filters are byte-wise at every depth). Returns (h, w) uint8 for
-    gray8, (h, w, 3) uint8 for RGB and palette, (h, w) uint16 for
-    gray16. Interlaced (Adam7) streams are rejected — JPEG/PIL remains
-    the one genuinely-external stub."""
-    import struct
+# Adam7 pass grid per PNG spec §8.2: (x0, y0, dx, dy). Each pass is an
+# independent sub-image — its scanlines are filtered with prev reset, and
+# a pass whose sub-image is empty contributes NO bytes (not even filter
+# bytes).
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    if raw[:8] != _PNG_SIG:
-        raise ValueError("not a PNG file")
-    pos, idat, dims, plte, depth, ctype = 8, [], None, None, 8, 0
-    while pos + 8 <= len(raw):
-        (ln,) = struct.unpack_from(">I", raw, pos)
-        tag = raw[pos + 4 : pos + 8]
-        data = raw[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
-        if crc != zlib.crc32(tag + data):
-            raise ValueError(f"CRC mismatch in {tag!r} chunk")
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", data
-            )
-            ok = (depth == 8 and ctype in (0, 2, 3)) or (
-                depth == 16 and ctype == 0
-            )
-            if not ok or (comp, filt, inter) != (0, 0, 0):
-                raise ValueError(
-                    "decoder expects non-interlaced 8-bit gray/truecolor/"
-                    "palette or 16-bit grayscale PNG"
-                )
-            # bpp = BYTES per pixel: gray8/palette 1, gray16 2, rgb8 3
-            bpp = 2 if depth == 16 else (3 if ctype == 2 else 1)
-            dims = (h, w, bpp)
-        elif tag == b"PLTE":
-            if ln % 3 != 0 or ln == 0:
-                raise ValueError("PLTE length must be a positive multiple of 3")
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln  # unknown ancillary chunks (tEXt, pHYs, ...) skipped
-    if dims is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    if ctype == 3 and plte is None:
-        raise ValueError("indexed-color PNG without a PLTE chunk")
-    h, w, bpp = dims
-    wb = w * bpp  # scanline bytes
-    stream = zlib.decompress(b"".join(idat))
+
+def _png_unfilter(stream: bytes, h: int, w: int, bpp: int) -> "np.ndarray":
+    """Reconstruct (h, w*bpp) bytes from a filtered scanline stream (one
+    filter-type byte + w*bpp data bytes per row). Shared by the sequential
+    and the per-Adam7-pass decode paths."""
+    wb = w * bpp
     if len(stream) != h * (wb + 1):
         raise ValueError("decompressed size does not match dimensions")
     out = np.zeros((h, wb), dtype=np.int16)
@@ -807,7 +807,80 @@ def parse_png(raw: bytes) -> "np.ndarray":
             raise ValueError(f"unknown filter type {ft}")
         out[r] = cur
         prev = cur
-    px = out.astype(np.uint8)
+    return out.astype(np.uint8)
+
+
+def parse_png(raw: bytes) -> "np.ndarray":
+    """Spec-true PNG reader: 8-bit grayscale (color type 0), truecolor
+    (2), indexed-color (3, PLTE lookup) and 16-bit grayscale (type 0
+    depth 16, big-endian samples), each in BOTH interlace methods — 0
+    (sequential) and 1 (Adam7: seven independently-filtered sub-images
+    scattered back on the §8.2 pass grid, empty passes omitted). Chunk
+    walk with CRC verification, IDAT concatenation, zlib inflate, and
+    per-row reconstruction of all five filter types with the spec's
+    bpp-byte left step (filters are byte-wise at every depth). Returns
+    (h, w) uint8 for gray8, (h, w, 3) uint8 for RGB and palette, (h, w)
+    uint16 for gray16. JPEG/PIL remains the one genuinely-external
+    stub."""
+    import struct
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, idat, dims, plte, depth, ctype = 8, [], None, None, 8, 0
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        tag = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            ok = (depth == 8 and ctype in (0, 2, 3)) or (
+                depth == 16 and ctype == 0
+            )
+            if not ok or (comp, filt) != (0, 0) or inter not in (0, 1):
+                raise ValueError(
+                    "decoder expects 8-bit gray/truecolor/palette or "
+                    "16-bit grayscale PNG (interlace method 0 or 1)"
+                )
+            # bpp = BYTES per pixel: gray8/palette 1, gray16 2, rgb8 3
+            bpp = 2 if depth == 16 else (3 if ctype == 2 else 1)
+            dims = (h, w, bpp, inter)
+        elif tag == b"PLTE":
+            if ln % 3 != 0 or ln == 0:
+                raise ValueError("PLTE length must be a positive multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # unknown ancillary chunks (tEXt, pHYs, ...) skipped
+    if dims is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if ctype == 3 and plte is None:
+        raise ValueError("indexed-color PNG without a PLTE chunk")
+    h, w, bpp, inter = dims
+    stream = zlib.decompress(b"".join(idat))
+    if inter:
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            if ph == 0 or pw == 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            sub = _png_unfilter(stream[off : off + need], ph, pw, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            off += need
+        if off != len(stream):
+            raise ValueError("decompressed size does not match dimensions")
+        px = px.reshape(h, w * bpp)
+    else:
+        px = _png_unfilter(stream, h, w, bpp)
     if ctype == 3:
         flat = px.reshape(h * w)
         if flat.max(initial=0) >= len(plte):
@@ -839,6 +912,39 @@ def png_assets_from_documents(docs: DataFrame) -> DataFrame:
                 idx = ((3 * np.arange(h * w) + 1) % len(body)).reshape(h, w)
                 ids.append(did)
                 payloads.append(_png_encode(body[idx]))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": payloads,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=_PNG_SCHEMA)
+
+
+def png_interlaced_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL Adam7-interlaced PNG assets from ``documents``: a
+    (9+doc_id%7)-row × (10+doc_id%9)-col grayscale raster whose pixel j
+    (row-major) is the text byte at ((7·j + 3) mod len(text)), written
+    with interlace method 1 — dimensions chosen so most rasters span
+    several pass-grid cells and every image exercises all seven Adam7
+    passes' geometry (including empty-pass handling at the small end)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w = 10 + did % 9
+                h = 9 + did % 7
+                body = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                idx = ((7 * np.arange(h * w) + 3) % len(body)).reshape(h, w)
+                ids.append(did)
+                payloads.append(_png_encode(body[idx], interlace=True))
                 ws.append(w)
                 hs.append(h)
             yield pd.DataFrame(

@@ -2574,3 +2574,43 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return MM.decode_png_rgb_stats(MM.png_palette_assets_from_documents(docs))
+
+
+@register(
+    "multimodal_png_interlaced",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id, text, length(text) AS n,
+             10 + doc_id % 9 AS w, 9 + doc_id % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT asset_id, w, h,
+             list_transform(generate_series(0, w * h - 1),
+               j -> ascii(substr(text,
+                    cast((7 * j + 3) % n AS BIGINT) + 1, 1))) AS g
+      FROM dims
+    )
+    SELECT asset_id,
+           cast(w AS INTEGER) AS width,
+           cast(h AS INTEGER) AS height,
+           cast(w * h AS INTEGER) AS n_px,
+           cast(list_min(g) AS INTEGER) AS px_min,
+           cast(list_max(g) AS INTEGER) AS px_max,
+           cast(list_sum(g) AS BIGINT) AS px_sum
+    FROM px
+    """,
+    doc="REAL Adam7-interlaced PNG decode: grayscale rasters are written "
+    "with interlace method 1 (seven independently-filtered sub-images in "
+    "spec §8.2 pass order, filters still cycling None/Sub/Up/Average/"
+    "Paeth within each pass) and decoded through the chunk walk + inflate "
+    "+ per-pass unfilter + pass-grid scatter. The oracle recomputes every "
+    "pixel from the source text in reading order, so a wrong pass "
+    "geometry, a filter state leaking across passes, or a misplaced "
+    "scatter all flip the value hash. With this, JPEG is the only "
+    "remaining external codec stub. "
+    "multimodal.py:png_interlaced_assets_from_documents/parse_png",
+)
+def q_multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_png_stats(MM.png_interlaced_assets_from_documents(docs))

@@ -305,13 +305,67 @@ class TestMultimodal:
 
         with pytest.raises(ValueError, match="not a PNG"):
             parse_png(b"GIF89a" + b"\x00" * 32)
-        # interlaced (Adam7) and 16-bit truecolor stay rejected by name
-        inter_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
-        with pytest.raises(ValueError, match="non-interlaced"):
-            parse_png(_PNG_SIG + _png_chunk(b"IHDR", inter_ihdr))
+        # 16-bit truecolor and unknown interlace methods stay rejected by
+        # name (Adam7 itself is decoded for real now)
         deep_rgb_ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-        with pytest.raises(ValueError, match="non-interlaced"):
+        with pytest.raises(ValueError, match="grayscale PNG"):
             parse_png(_PNG_SIG + _png_chunk(b"IHDR", deep_rgb_ihdr))
+        bad_inter_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
+        with pytest.raises(ValueError, match="interlace method 0 or 1"):
+            parse_png(_PNG_SIG + _png_chunk(b"IHDR", bad_inter_ihdr))
+
+    def test_png_adam7_roundtrip_all_shapes(self):
+        # interlace method 1: every pixel shape (gray8, rgb, gray16,
+        # palette) round-trips through the 7-pass encode/decode, and the
+        # interlaced decode equals the sequential decode of the same image
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import (
+            _png_encode,
+            _png_encode_palette,
+            parse_png,
+        )
+
+        rng = np.random.default_rng(23)
+        # sizes straddle the 8x8 pass grid: sub-cell (empty passes),
+        # exactly one cell, and multi-cell with odd remainders
+        for h, w in [(1, 1), (1, 9), (9, 1), (5, 6), (8, 8), (13, 21)]:
+            g8 = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            g16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+            pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+            idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+            for img in (g8, rgb, g16):
+                assert np.array_equal(
+                    parse_png(_png_encode(img, interlace=True)), img
+                ), (h, w, img.dtype, img.ndim)
+                assert np.array_equal(
+                    parse_png(_png_encode(img, interlace=True)),
+                    parse_png(_png_encode(img)),
+                )
+            assert np.array_equal(
+                parse_png(_png_encode_palette(idx, pal, interlace=True)),
+                pal[idx],
+            ), (h, w)
+
+    def test_png_adam7_pass_order_hand_vector(self):
+        # 2x2 gray8 pins the §8.2 pass geometry to the spec, not to a
+        # round-trip symmetry: pass 1 -> (0,0); passes 2-5 empty (no
+        # bytes, not even filter bytes); pass 6 -> (0,1); pass 7 -> row 1
+        import struct
+        import zlib as _z
+
+        import numpy as np
+
+        from eventflux_engine_spark.multimodal import _png_encode, parse_png
+
+        img = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+        raw = _png_encode(img, interlace=True)
+        idat_off = raw.index(b"IDAT") + 4
+        (ln,) = struct.unpack_from(">I", raw, idat_off - 8)
+        stream = _z.decompress(raw[idat_off : idat_off + ln])
+        assert list(stream) == [0, 10, 0, 20, 0, 30, 40]
+        assert np.array_equal(parse_png(raw), img)
 
     def test_png_palette_roundtrip_all_filters(self):
         # color type 3: scanlines carry palette INDEXES (bpp=1); decode
