@@ -209,3 +209,80 @@ def hll_estimate(regs: DataFrame, group_cols: Sequence[str]) -> DataFrame:
         ).alias("est_q"),
         F.col("occupied").cast("bigint").alias("occupied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable per-item
+# FREQUENCY estimates, the counting counterpart of the HLL's distinct
+# counts. d independent hash rows x w buckets; update adds 1 to bucket
+# h_i(x) in every row; point query est(x) = min_i cnt[i][h_i(x)].
+# Guarantees: est >= true count always (only collisions inflate), and
+# est <= true + eps*N with probability 1 - delta for w = e/eps, d =
+# ln(1/delta) — at d=4, w=512: eps ~ 0.53% of stream length, delta < 2%.
+#
+# Same engine-parity discipline as the HLL above: buckets come from md5
+# ('cms<i>:' || value), counts are plain integers, so the DuckDB twin
+# reproduces every estimate bit-exactly. Registers are mergeable by
+# element-wise SUM (counts are additive), so daily sketches roll up to
+# monthly frequency tables without rescanning — the gate proves
+# merge-of-sketches == sketch-of-union via the value hash.
+#
+# Scale shape: the register build is ONE full-data shuffle with map-side
+# partial counts — each input partition collapses to at most
+# |groups| x d x w rows before the exchange, and the sketch itself is
+# |groups| x d x w regardless of stream length.
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row (power of two keeps the modulo cheap)
+
+
+def _cms_bucket(col: str, i: int):
+    """Bucket of `col` in hash row i: 48 md5-derived bits mod w (same
+    hex-prefix discipline as hll_registers / dedup.py)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{i}:"), F.col(col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % CMS_W).cast("int")
+
+
+def cms_registers(
+    df: DataFrame, col: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group CMS registers: (group_cols..., i, j, cnt).
+
+    posexplode fans each row into its d (row, bucket) cells; the groupBy
+    count collapses map-side to <= |groups| x d x w rows per partition
+    before the single exchange. Re-aggregating this frame with sum(cnt)
+    over coarser groups IS the sketch merge (counts are additive).
+    """
+    cells = F.array(*[_cms_bucket(col, i) for i in range(CMS_D)])
+    g = df.select(*group_cols, F.posexplode(cells).alias("i", "j"))
+    return g.groupBy(*group_cols, "i", "j").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_lookup(
+    regs: DataFrame,
+    items: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Point-query estimates for `items` (one row per item, carrying
+    group_cols): est = min over the d rows of the item's bucket count.
+
+    The item side fans out to d probe rows and broadcasts against the
+    register table (|groups| x d x w rows — tiny next to the data the
+    sketch summarizes). An item present in the sketched data hits all d
+    cells by construction, so the inner join keeps exactly d rows each.
+    """
+    cells = F.array(*[_cms_bucket(col, i) for i in range(CMS_D)])
+    probes = items.select(
+        *group_cols, F.col(col), F.posexplode(cells).alias("i", "j")
+    )
+    joined = regs.join(F.broadcast(probes), [*group_cols, "i", "j"])
+    return joined.groupBy(*group_cols, col).agg(F.min("cnt").alias("est_cnt"))

@@ -2614,3 +2614,114 @@ def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return MM.decode_png_stats(MM.png_interlaced_assets_from_documents(docs))
+
+
+def _cms_oracle() -> str:
+    from ..operators import approx as APX
+
+    w, dmax = APX.CMS_W, APX.CMS_D - 1
+    return f"""
+    WITH cells AS (
+      SELECT event_type, s.i,
+             cast('0x' || substr(md5('cms' || s.i || ':' ||
+                  cast(user_id AS VARCHAR)), 1, 12) AS BIGINT) % {w} AS j
+      FROM events, generate_series(0, {dmax}) AS s(i)
+    ),
+    regs AS (
+      SELECT event_type, i, j, count(*) AS cnt
+      FROM cells GROUP BY event_type, i, j
+    ),
+    allregs AS (
+      SELECT '__all__' AS event_type, i, j, sum(cnt) AS cnt
+      FROM regs GROUP BY i, j
+    ),
+    merged AS (
+      SELECT event_type, i, j, cast(cnt AS BIGINT) AS cnt FROM regs
+      UNION ALL
+      SELECT event_type, i, j, cast(cnt AS BIGINT) AS cnt FROM allregs
+    ),
+    exact AS (
+      SELECT event_type, user_id, count(*) AS exact_cnt
+      FROM events GROUP BY event_type, user_id
+      UNION ALL
+      SELECT '__all__', user_id, count(*) FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY exact_cnt DESC, user_id) AS rk
+      FROM exact QUALIFY rk <= 3
+    ),
+    probes AS (
+      SELECT t.event_type, t.user_id, t.rk, t.exact_cnt, s.i,
+             cast('0x' || substr(md5('cms' || s.i || ':' ||
+                  cast(t.user_id AS VARCHAR)), 1, 12) AS BIGINT) % {w} AS j
+      FROM top t, generate_series(0, {dmax}) AS s(i)
+    )
+    SELECT p.event_type AS etype, p.user_id,
+           cast(p.rk AS INTEGER) AS rk,
+           cast(min(m.cnt) AS BIGINT) AS est_cnt,
+           cast(p.exact_cnt AS BIGINT) AS exact_cnt
+    FROM probes p
+    JOIN merged m ON m.event_type = p.event_type AND m.i = p.i AND m.j = p.j
+    GROUP BY p.event_type, p.user_id, p.rk, p.exact_cnt
+    """
+
+
+@register(
+    "events_cms_topk",
+    _cms_oracle(),
+    doc="mergeable Count-Min frequency sketch (operators/approx.py "
+    "cms_registers/cms_lookup; the counting counterpart of "
+    "events_hll_distinct): d=4 x w=512 integer registers from md5-derived "
+    "buckets, built in ONE full-data shuffle (posexplode fans each row "
+    "into its 4 cells, map-side partial count collapses every partition "
+    "to <= |groups|x2048 rows). The Spark path builds DAILY sketches and "
+    "sum-merges them per event type plus an '__all__' level, while the "
+    "oracle sketches directly from raw rows — the value-hash MATCH "
+    "proves merge-of-sketches == sketch-of-union, i.e. daily frequency "
+    "tables roll up without rescanning 100 TB. Point queries (the exact "
+    "top-3 users per type, deterministic tie-break) report est_cnt = "
+    "min-over-rows next to exact_cnt; CMS guarantees est >= exact "
+    "(collisions only inflate), pinned in pytest alongside the "
+    "eps*N overestimate bound",
+)
+def q_events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import approx as APX
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = APX.cms_registers(ev, "user_id", ["event_type", "day"])
+    bytype = daily.groupBy("event_type", "i", "j").agg(F.sum("cnt").alias("cnt"))
+    allr = (
+        bytype.groupBy("i", "j")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("__all__").alias("event_type"), "i", "j", "cnt")
+    )
+    merged = bytype.select("event_type", "i", "j", "cnt").unionByName(allr)
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    exact_all = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .select(F.lit("__all__").alias("event_type"), "user_id", "exact_cnt")
+    )
+    exact_u = exact.unionByName(exact_all)
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc("exact_cnt"), F.asc("user_id")
+        )
+    )
+    top = exact_u.withColumn("rk", rk).filter(F.col("rk") <= 3)
+    est = APX.cms_lookup(
+        merged, top.select("event_type", "user_id"), "user_id", ["event_type"]
+    )
+    return top.join(est, ["event_type", "user_id"]).select(
+        F.col("event_type").alias("etype"),
+        "user_id",
+        F.col("rk").cast("int").alias("rk"),
+        F.col("est_cnt").cast("bigint").alias("est_cnt"),
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+    )
