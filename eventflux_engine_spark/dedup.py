@@ -689,3 +689,140 @@ reach AS (
 )"""
     )
     return ",".join(parts)
+
+
+# -- substring-level exact dedup (duplicated k-token spans) ------------------
+# The substring-granularity counterpart of exact_dedup: instead of whole-doc
+# fingerprints, every k-token window is fingerprinted, and any window that
+# occurs >= 2 times ANYWHERE in the corpus (across documents or repeated
+# within one) is a duplicated span — the primitive behind suffix-array
+# training-data dedup ("remove any 50-token span that repeats"; Lee et al.
+# 2022, arXiv:2107.06499, approximated here by fixed-width shingle joins,
+# which is the shape that distributes). Per document we report how many
+# window positions are duplicated and how many tokens at least one
+# duplicated window covers — the bytes a substring-level dedup pass would
+# drop.
+
+SPAN_K = 8  # window width in tokens for the gated span stats
+
+
+def duplicate_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Per-document duplicated-span statistics over k-token windows.
+
+    Scale shape: window positions are a narrow explode (no shuffle); the
+    duplicate test is ONE shuffle of the position table on the md5 window
+    fingerprint, with the occurrence count attached in place by a
+    partition-count window (no groupBy + self-join back, which would scan
+    and shuffle the corpus-sized position table twice); the surviving
+    duplicated positions — typically a small fraction — are
+    localCheckpointed once at their two-consumer fan-out, and coverage
+    re-explodes only them (k x |dup positions|, not k x corpus). A
+    pathological single span repeated corpus-wide lands on one reducer
+    like any hot key; the salted-agg/LSH-cap toolkit applies if a corpus
+    is boilerplate-dominated.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(normalize_ascii(F.col("text")), " ")
+    base = docs.select("doc_id", words.alias("w")).select(
+        "doc_id", "w", F.size("w").alias("n_tokens")
+    )
+    idx = F.explode(
+        F.when(
+            F.col("n_tokens") >= k,
+            F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at(F.col("w"), F.col("i") + j) for j in range(k)]
+    )
+    pos = base.select("doc_id", "n_tokens", "w", idx.alias("i")).select(
+        "doc_id", "i", F.md5(shingle).alias("fp")
+    )
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    duppos = (
+        pos.withColumn("n_occ", n_occ)
+        .filter(F.col("n_occ") >= 2)
+        .select("doc_id", "i")
+        .localCheckpoint(eager=False)
+    )
+    covered = (
+        duppos.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("t"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    per_doc = duppos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    totals = base.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") >= k, F.col("n_tokens") - (k - 1))
+        .otherwise(F.lit(0))
+        .alias("n_windows"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_windows").cast("int").alias("n_windows"),
+            F.coalesce(F.col("dup_windows"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_windows"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+        )
+    )
+
+
+def span_stats_sql(k: int = SPAN_K, source: str = "documents_aug") -> str:
+    """DuckDB twin of :func:`duplicate_span_stats` (CTE chain ending in
+    ``span_stats``)."""
+    norm = NORMALIZE_SQL.format(c="text")
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+shingled AS (
+  SELECT doc_id, string_split({norm}, ' ') AS w FROM {source}
+),
+spanbase AS (
+  SELECT doc_id, w, len(w) AS n_tokens FROM shingled
+),
+spanpos AS (
+  SELECT doc_id, i, md5({parts}) AS fp
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - {k - 1}, 0))) AS i
+        FROM spanbase)
+),
+spandup AS (
+  SELECT fp FROM spanpos GROUP BY fp HAVING count(*) >= 2
+),
+spanduppos AS (
+  SELECT p.doc_id, p.i FROM spanpos p JOIN spandup USING (fp)
+),
+spancov AS (
+  SELECT doc_id, count(DISTINCT t) AS covered_tokens
+  FROM (SELECT doc_id, unnest(generate_series(i, i + {k - 1})) AS t
+        FROM spanduppos)
+  GROUP BY doc_id
+),
+spandw AS (
+  SELECT doc_id, count(*) AS dup_windows FROM spanduppos GROUP BY doc_id
+),
+span_stats AS (
+  SELECT b.doc_id,
+         cast(b.n_tokens AS INTEGER) AS n_tokens,
+         cast(greatest(b.n_tokens - {k - 1}, 0) AS INTEGER) AS n_windows,
+         cast(coalesce(dw.dup_windows, 0) AS BIGINT) AS dup_windows,
+         cast(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens
+  FROM spanbase b
+  LEFT JOIN spandw dw USING (doc_id)
+  LEFT JOIN spancov c USING (doc_id)
+)
+"""

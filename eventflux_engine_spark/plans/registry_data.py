@@ -1192,3 +1192,27 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+
+@register(
+    "dedup_substring_spans",
+    _docs_sql(
+        "SELECT doc_id, n_tokens, n_windows, dup_windows, covered_tokens"
+        " FROM span_stats",
+        extra_ctes=[DD.span_stats_sql()],
+    ),
+    doc="substring-level exact dedup (dedup.py duplicate_span_stats; the "
+    "fixed-width distributed approximation of suffix-array span dedup, "
+    "Lee et al. 2022 arXiv:2107.06499): every 8-token window occurring "
+    ">= 2 times anywhere in the corpus is a duplicated span. One shuffle "
+    "on the md5 window fingerprint decides duplication (map-side partial "
+    "counts); positions rejoin the dup set by sort-merge on the same key "
+    "(NOT broadcast — the dup set is corpus-sized under heavy "
+    "duplication); coverage re-explodes only duplicated positions. "
+    "Per-doc output: window counts, duplicated-window counts, and tokens "
+    "covered by >= 1 duplicated window (what a span-dedup pass would "
+    "drop) — the planted near/exact copies in documents_aug make the "
+    "expected spans exactly recomputable in the oracle",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.duplicate_span_stats(_aug_docs(spark, sf_dir))

@@ -1364,3 +1364,81 @@ class TestBpeTrain:
         a = [tuple(r) for r in bpe_train(docs.repartition(1), 4).collect()]
         b = [tuple(r) for r in bpe_train(docs.repartition(16), 4).collect()]
         assert sorted(a) == sorted(b)
+
+
+class TestSubstringSpans:
+    """duplicate_span_stats: hand-computable duplicated k-token windows."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_corpus(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            # docs 1 and 2 share a 10-token prefix -> 3 dup windows (k=8)
+            # each, covering all 10 shared tokens; their tails differ
+            (1, shared + " one two three"),
+            (2, shared + " four five six"),
+            # doc 3: nothing shared, 8 tokens -> exactly 1 window, 0 dups
+            (3, "completely different words in this eight token doc"),
+            # doc 4: shorter than k -> 0 windows
+            (4, "tiny doc"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in DD.duplicate_span_stats(self._docs(spark, rows), k=8).collect()
+        }
+        assert len(out) == 4
+        for d in (1, 2):
+            assert out[d].n_tokens == 13
+            assert out[d].n_windows == 6
+            assert out[d].dup_windows == 3  # positions 1..3 (the prefix)
+            assert out[d].covered_tokens == 10
+        assert out[3].n_windows == 1
+        assert out[3].dup_windows == 0 and out[3].covered_tokens == 0
+        assert out[4].n_windows == 0
+        assert out[4].dup_windows == 0 and out[4].covered_tokens == 0
+
+    def test_within_document_repeat_counts(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        # one doc repeats its own 8-token sentence verbatim -> both
+        # occurrences are duplicated spans (count >= 2 corpus-wide, the
+        # suffix-array semantics), coverage = all 16 tokens
+        s = "one two three four five six seven eight"
+        out = DD.duplicate_span_stats(
+            self._docs(spark, [(1, s + " " + s)]), k=8
+        ).collect()[0]
+        assert out.n_tokens == 16
+        assert out.n_windows == 9
+        # windows starting at 1 and 9 are the two exact repeats; windows
+        # 2..8 straddle the seam and are unique
+        assert out.dup_windows == 2
+        assert out.covered_tokens == 16
+
+    def test_normalization_feeds_spans(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        # punctuation/case differences must not defeat span matching
+        a = "The quick brown fox jumps over the lazy dog"
+        b = "the QUICK, brown fox; jumps over the lazy dog!!"
+        out = DD.duplicate_span_stats(self._docs(spark, [(1, a), (2, b)]), k=8).collect()
+        assert all(r.dup_windows == 2 for r in out)  # 9 tokens -> 2 windows
+        assert all(r.covered_tokens == 9 for r in out)
+
+    def test_plan_no_cartesian_and_single_fp_shuffle(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        docs = self._docs(
+            spark, [(i, f"w{i} a b c d e f g h i j k") for i in range(20)]
+        )
+        plan = (
+            DD.duplicate_span_stats(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
