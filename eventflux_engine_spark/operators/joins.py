@@ -250,3 +250,102 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
     return f.join(d, on=keys + ["__salt"], how=how).drop("__salt")
+
+
+# -- Bloom-filter join pruning ----------------------------------------------
+# The 100 TB scan-prune pattern native Spark only applies internally (its
+# runtime bloom-filter rewrite is JVM-config-gated and opaque): build a
+# Bloom filter over the dim side's join keys, fold it into ONE dense
+# bit-array row, broadcast it, and prefilter the fact scan BEFORE the
+# shuffle join — rows whose key cannot be in the dim side never enter the
+# exchange. Bloom filters have no false negatives, so the pruned join's
+# result is EXACTLY the plain join's (the gate's oracle is the plain
+# semi-join); false positives only cost a little less pruning.
+#
+# Unlike the sketch gates, the ORACLE never computes this hash — the gate
+# is result-invariance against the plain join — so the hash needs no
+# cross-engine parity and can be the JVM-native seeded xxhash64 (no
+# string md5/conv per probe: the bit test must be nearly free next to the
+# scan it prunes — switching from md5 cut the sf1.0 probe from 10.6 s to
+# scan-speed). 32 bits per BIGINT word (bit 63 never set — no
+# sign-extension edge cases), registers mergeable by bitwise OR.
+
+BLOOM_K = 4  # hash functions
+BLOOM_WORDS = 2048  # 32-bit words -> m = 65536 bits
+
+
+def _bloom_hashes(col: str) -> "list[Column]":
+    """The k bit positions (0..m-1) of `col`'s key."""
+    m = BLOOM_WORDS * 32
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m))
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_build(dim: DataFrame, key: str) -> DataFrame:
+    """ONE dense row (`bloom`: array<bigint> of BLOOM_WORDS words) from the
+    dim side's keys. Cost: a distinct on the (small) dim side, a k-cell
+    posexplode, and a word-keyed bit_or that collapses map-side to at most
+    BLOOM_WORDS rows per partition."""
+    cells = F.array(
+        *[
+            F.struct(
+                (h / 32).cast("int").alias("word"),
+                (h % 32).cast("int").alias("bit"),
+            )
+            for h in _bloom_hashes(key)
+        ]
+    )
+    regs = (
+        dim.select(F.col(key)).distinct()
+        .select(F.explode(cells).alias("c"))
+        .select(
+            F.col("c.word").alias("word"),
+            F.expr("shiftleft(cast(1 AS bigint), c.bit)").alias("v"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("v").alias("bits"))
+    )
+    dense = (
+        dim.sparkSession.range(BLOOM_WORDS)
+        .select(F.col("id").cast("int").alias("word"))
+        .join(regs, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0)).alias("bits"))
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "bits"))),
+            lambda s: s.bits,
+        ).alias("bloom")
+    )
+
+
+def bloom_probe(facts: DataFrame, key: str, bloom_row: DataFrame) -> DataFrame:
+    """Prefilter `facts` to rows whose key MIGHT be in the built set: the
+    broadcast 1-row cross join keeps the check a narrow Catalyst
+    expression over the fact scan — no shuffle, no per-row Python. (SQL
+    text because the Python shiftright wrapper only takes literal shift
+    amounts; the SQL function shifts by any expression.)"""
+    m = BLOOM_WORDS * 32
+    conds = []
+    for i in range(BLOOM_K):
+        h = f"pmod(xxhash64({key}, {i}), {m})"
+        conds.append(
+            f"((shiftright(element_at(bloom, cast({h} div 32 AS int) + 1), "
+            f"cast({h} % 32 AS int)) & 1) = 1)"
+        )
+    probed = facts.crossJoin(F.broadcast(bloom_row))
+    return probed.filter(F.expr(" AND ".join(conds))).drop("bloom")
+
+
+def bloom_prune_join(
+    facts: DataFrame, dim: DataFrame, key: str, how: str = "left_semi"
+) -> DataFrame:
+    """`facts JOIN dim ON key`, with the fact side Bloom-pruned before the
+    join. No false negatives -> result is bit-identical to the plain
+    join; the filter runs at the scan, so at 100 TB the exchange only
+    carries surviving rows."""
+    return bloom_probe(facts, key, bloom_build(dim, key)).join(
+        dim, on=key, how=how
+    )

@@ -2725,3 +2725,44 @@ def q_events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_cnt").cast("bigint").alias("est_cnt"),
         F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
     )
+
+
+@register(
+    "events_bloom_prune_join",
+    """
+    WITH hot AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 50
+    )
+    SELECT e.event_type AS etype,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e
+    WHERE e.user_id IN (SELECT user_id FROM hot)
+    GROUP BY e.event_type
+    """,
+    doc="Bloom-filter join pruning (operators/joins.py bloom_build/"
+    "bloom_probe/bloom_prune_join): the dim side (high-value purchasers) "
+    "folds into ONE dense 65536-bit array row, broadcast onto the fact "
+    "scan as a narrow Catalyst bit-test BEFORE the semi-join — at 100 TB "
+    "the exchange only carries rows that might match, and the filter "
+    "sits at the scan. Bloom filters have no false negatives, so the "
+    "pruned join is bit-identical to the plain semi-join — which is "
+    "exactly what the oracle runs (the same result-invariance discipline "
+    "as the salted join); false-positive rate and sum-merge of register "
+    "halves are pinned in pytest",
+)
+def q_events_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import bloom_prune_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hot = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select("user_id")
+        .distinct()
+    )
+    matched = bloom_prune_join(ev, hot, "user_id")
+    return matched.groupBy(F.col("event_type").alias("etype")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -224,3 +224,83 @@ class TestSaltedJoin:
                                          F.col("id").alias("fact_id"))
         dim = spark.range(10).select(F.col("id").alias("k"))
         assert salted_join(facts, dim, on="k", salt_source="fact_id").count() == 1000
+
+
+class TestBloomPruneJoin:
+    """Bloom-filter join pruning: no false negatives (result invariance),
+    bounded false positives, mergeable registers, scan-side filter plan."""
+
+    def _sets(self, spark):
+        from pyspark.sql import functions as F
+
+        dim = spark.range(0, 2000).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("k")
+        )
+        fact = spark.range(0, 20000).select(
+            F.concat(F.lit("u"), (F.col("id") % 7000).cast("string")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        return dim, fact
+
+    def test_pruned_semi_join_equals_plain(self, spark):
+        from eventflux_engine_spark.operators.joins import bloom_prune_join
+
+        dim, fact = self._sets(spark)
+        plain = sorted(map(tuple, fact.join(dim, "k", "left_semi").collect()))
+        pruned = sorted(map(tuple, bloom_prune_join(fact, dim, "k").collect()))
+        assert pruned == plain
+        assert len(plain) == 6000  # keys u0..u1999 hit by id%7000 in 3 ranges
+
+    def test_false_positive_rate_bounded(self, spark):
+        from pyspark.sql import functions as F
+
+        from eventflux_engine_spark.operators.joins import (
+            BLOOM_K,
+            BLOOM_WORDS,
+            bloom_build,
+            bloom_probe,
+        )
+
+        dim, _ = self._sets(spark)
+        disjoint = spark.range(0, 10_000).select(
+            F.concat(F.lit("x"), F.col("id").cast("string")).alias("k")
+        )
+        fp = bloom_probe(disjoint, "k", bloom_build(dim, "k")).count()
+        # theoretical (1 - e^(-kn/m))^k ~ 1.7e-4 at n=2000, m=65536, k=4;
+        # 1% is a 50x margin over the expectation
+        assert fp <= 100, fp
+        assert BLOOM_K == 4 and BLOOM_WORDS == 2048  # doc'd geometry
+
+    def test_registers_merge_by_bit_or(self, spark):
+        from pyspark.sql import functions as F
+
+        from eventflux_engine_spark.operators.joins import bloom_build
+
+        dim, _ = self._sets(spark)
+        lo = dim.filter(F.col("k") < "u1")
+        hi = dim.filter(F.col("k") >= "u1")
+        whole = bloom_build(dim, "k").collect()[0].bloom
+        blo = bloom_build(lo, "k").collect()[0].bloom
+        bhi = bloom_build(hi, "k").collect()[0].bloom
+        assert [a | b for a, b in zip(blo, bhi)] == list(whole)
+
+    def test_probe_plan_stays_at_scan(self, spark):
+        from eventflux_engine_spark.operators.joins import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        dim, fact = self._sets(spark)
+        plan = (
+            bloom_probe(fact, "k", bloom_build(dim, "k"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the fact side must not be shuffled or sort-merge-joined: the
+        # bit test rides a broadcast 1-row nested loop onto the scan; the
+        # ONE key exchange in the plan is the dim-side distinct inside the
+        # register build, never the fact side
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert plan.count("Exchange hashpartitioning(k") == 1
