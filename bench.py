@@ -66,6 +66,11 @@ HEADLINE = [
     # map-side partial max) and the PLTE codec path
     "events_hll_distinct",
     "multimodal_png_palette",
+    # round 5 (final): CMS point queries, substring span dedup (one fp
+    # shuffle + window count), and the Bloom-pruned semi-join
+    "events_cms_topk",
+    "dedup_substring_spans",
+    "events_bloom_prune_join",
 ]
 
 CEP_TURNS = int(os.environ.get("SPARK_GRAFT_CEP_TURNS", "2000000"))
