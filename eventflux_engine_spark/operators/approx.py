@@ -286,3 +286,90 @@ def cms_lookup(
     )
     joined = regs.join(F.broadcast(probes), [*group_cols, "i", "j"])
     return joined.groupBy(*group_cols, col).agg(F.min("cnt").alias("est_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile histogram (DDSketch-shaped, integer-exact): the
+# quantile counterpart of the HLL/CMS gates, and the value-gateable
+# alternative to the t-digest (whose centroids are float-path artifacts —
+# the one rows-only registry entry). Buckets are power-of-2 octaves
+# [2^b, 2^(b+1)) split into 8 linear sub-buckets, so every bucket bound
+# is an integer and the relative error of "estimate = sub-bucket lower
+# bound" is <= 12.5%. Bucketing, merge (sum of counts) and the quantile
+# walk (first bucket where the cumulative count crosses ceil(q*N)) are
+# ALL integer arithmetic — the DuckDB twin reproduces every estimate
+# bit-exactly, and sketches merge across days/shards by summing register
+# counts (|groups| x <=328 rows, regardless of data size).
+
+HIST_SUB = 8  # linear sub-buckets per octave
+HIST_MAX_BIT = 40  # ladder covers values < 2^40 (cents: ~10^10 dollars)
+
+
+def hist_octave_case_sql(v: str) -> str:
+    """CASE ladder: the octave floor 2^b with 2^b <= v < 2^(b+1); 0 for
+    v <= 0. Integer comparisons only — identical text runs in Spark and
+    DuckDB (the hll_rho_case_sql discipline)."""
+    arms = " ".join(
+        f"WHEN {v} >= {1 << k} THEN {1 << k}"
+        for k in range(HIST_MAX_BIT - 1, -1, -1)
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+def hist_bucket_sql(v: str, engine_div: str = "div") -> str:
+    """Sub-bucket LOWER BOUND of `v` (the sketch's grouping key and its
+    estimate): lo + ((v - lo) * SUB div lo) * lo div SUB. `engine_div` is
+    'div' for Spark SQL, '//' for DuckDB."""
+    d = engine_div
+    lo = hist_octave_case_sql(v)
+    return (
+        f"(CASE WHEN ({lo}) = 0 THEN 0 ELSE ({lo}) + "
+        f"((((({v}) - ({lo})) * {HIST_SUB}) {d} ({lo})) * ({lo})) "
+        f"{d} {HIST_SUB} END)"
+    )
+
+
+def hist_registers(
+    df: DataFrame, value_sql: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group histogram registers (group_cols..., lb, cnt) over the
+    integer expression `value_sql` (negative values clamp to bucket 0).
+    One full-data shuffle with map-side partial counts; at most
+    HIST_MAX_BIT * HIST_SUB + 1 rows per group. Mergeable by sum(cnt)."""
+    v = f"greatest(cast(({value_sql}) AS bigint), 0)"
+    g = df.select(
+        *group_cols, F.expr(hist_bucket_sql(v)).cast("bigint").alias("lb")
+    )
+    return g.groupBy(*group_cols, "lb").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hist_quantiles(
+    regs: DataFrame,
+    quantiles: Sequence[tuple[str, int, int]],
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Quantile estimates from the register table: for each (label, num,
+    den), the smallest bucket lower bound whose cumulative count reaches
+    ceil(num/den * N). Runs entirely on the tiny register table."""
+    from pyspark.sql import Window
+
+    spark = regs.sparkSession
+    qs = F.broadcast(
+        spark.createDataFrame(
+            list(quantiles), "q string, num int, den int"
+        )
+    )
+    wcum = Window.partitionBy(*group_cols).orderBy("lb")
+    wall = Window.partitionBy(*group_cols)
+    h = regs.select(
+        *group_cols,
+        "lb",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    hit = h.crossJoin(qs).filter(
+        F.col("cum") >= F.expr("(cast(num AS bigint) * n + den - 1) div den")
+    )
+    return hit.groupBy(*group_cols, "q", "n").agg(
+        F.min("lb").alias("est")
+    )

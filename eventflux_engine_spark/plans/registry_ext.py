@@ -2766,3 +2766,107 @@ def q_events_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def _hist_oracle() -> str:
+    from ..operators import approx as APX
+
+    bucket = APX.hist_bucket_sql("v", engine_div="//")
+    return f"""
+    WITH vals AS (
+      SELECT event_type AS etype,
+             greatest(cast(floor(value * 100 + 0.5) AS BIGINT), 0) AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT etype, lb, count(*) AS cnt FROM (
+        SELECT etype, {bucket} AS lb FROM vals
+      ) GROUP BY etype, lb
+    ),
+    h AS (
+      SELECT etype, lb,
+             sum(cnt) OVER (PARTITION BY etype ORDER BY lb) AS cum,
+             sum(cnt) OVER (PARTITION BY etype) AS n
+      FROM regs
+    ),
+    qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p95', 19, 20),
+                                 ('p99', 99, 100)) AS t(q, num, den)),
+    est AS (
+      SELECT etype, q, n, min(lb) AS est_cents
+      FROM h, qs
+      WHERE cum >= (cast(num AS BIGINT) * n + den - 1) // den
+      GROUP BY etype, q, n
+    ),
+    ranked AS (
+      SELECT etype, v,
+             row_number() OVER (PARTITION BY etype ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY etype) AS n
+      FROM vals
+    ),
+    exact AS (
+      SELECT r.etype, q.q, r.v AS exact_cents
+      FROM ranked r, qs q
+      WHERE r.rn = (cast(q.num AS BIGINT) * r.n + q.den - 1) // q.den
+    )
+    SELECT e.etype, e.q, cast(e.n AS BIGINT) AS n,
+           cast(e.est_cents AS BIGINT) AS est_cents,
+           cast(x.exact_cents AS BIGINT) AS exact_cents
+    FROM est e JOIN exact x ON e.etype = x.etype AND e.q = x.q
+    """
+
+
+@register(
+    "events_quantile_histogram",
+    _hist_oracle(),
+    doc="mergeable integer quantile histogram (operators/approx.py "
+    "hist_registers/hist_quantiles; DDSketch-shaped: power-of-2 octaves "
+    "x 8 linear sub-buckets, relative error <= 12.5%) — the VALUE-GATED "
+    "quantile sketch beside the deliberately rows-only t-digest: "
+    "bucketing (CASE-ladder octave floor, integer sub-bucket bound), "
+    "merge (sum of counts) and the quantile walk (first bucket whose "
+    "cumulative count reaches ceil(q*N)) are all integer arithmetic, so "
+    "the DuckDB twin reproduces p50/p95/p99 estimates bit-exactly. ONE "
+    "full-data shuffle with map-side partials collapses each partition "
+    "to <= 328 register rows per group; exact percentile_disc values sit "
+    "beside the estimates to expose accuracy (the exact column is the "
+    "gate's luxury — at 100 TB only the sketch runs)",
+)
+def q_events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import approx as APX
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.col("event_type").alias("etype"),
+        F.expr(
+            "greatest(cast(floor(value * 100 + 0.5) AS bigint), 0)"
+        ).alias("v"),
+    )
+    regs = APX.hist_registers(vals, "v", ["etype"])
+    QS = [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)]
+    est = APX.hist_quantiles(regs, QS, ["etype"])
+    ranked = vals.select(
+        "etype",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("etype").orderBy("v"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("etype")).alias("n"),
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(QS, "q string, num int, den int")
+    )
+    exact = (
+        ranked.crossJoin(qdf)
+        .filter(
+            F.col("rn")
+            == F.expr("(cast(num AS bigint) * n + den - 1) div den")
+        )
+        .select("etype", "q", F.col("v").alias("exact_cents"))
+    )
+    return est.join(exact, ["etype", "q"]).select(
+        "etype",
+        "q",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("est").cast("bigint").alias("est_cents"),
+        F.col("exact_cents").cast("bigint").alias("exact_cents"),
+    )

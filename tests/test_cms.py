@@ -128,3 +128,92 @@ class TestCMSPlan:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestQuantileHistogram:
+    """Integer quantile histogram: bound, mergeability, bucket math."""
+
+    def _vals(self, spark, n=20000):
+        from pyspark.sql import functions as F
+
+        # deterministic long-tailed values: v = (7i mod 9973)^2 mod 99991
+        return spark.range(0, n).select(
+            F.lit("g").alias("g"),
+            (((F.col("id") * 7) % 9973) * ((F.col("id") * 7) % 9973) % 99991)
+            .cast("bigint")
+            .alias("v"),
+        )
+
+    def test_estimates_within_sub_bucket_bound(self, spark):
+        import math
+
+        from eventflux_engine_spark.operators.approx import (
+            hist_quantiles,
+            hist_registers,
+        )
+
+        vals = self._vals(spark)
+        regs = hist_registers(vals, "v", ["g"])
+        qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+        est = {r.q: r.est for r in hist_quantiles(regs, qs, ["g"]).collect()}
+        data = sorted(r.v for r in vals.collect())
+        n = len(data)
+        for q, num, den in qs:
+            t = (num * n + den - 1) // den
+            exact = data[t - 1]
+            lo = 1 << (exact.bit_length() - 1) if exact > 0 else 0
+            # estimate is the lower bound of exact's sub-bucket: within
+            # lo/8 below exact, never above it by more than the bucket
+            assert est[q] <= exact
+            assert exact - est[q] <= math.ceil(lo / 8), (q, est[q], exact)
+
+    def test_registers_merge_by_sum(self, spark):
+        from pyspark.sql import functions as F
+
+        from eventflux_engine_spark.operators.approx import hist_registers
+
+        vals = self._vals(spark)
+        lo = vals.filter(F.col("v") < 5000)
+        hi = vals.filter(F.col("v") >= 5000)
+        whole = hist_registers(vals, "v", ["g"])
+        merged = (
+            hist_registers(lo, "v", ["g"])
+            .unionByName(hist_registers(hi, "v", ["g"]))
+            .groupBy("g", "lb")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_bucket_bounds_and_zero(self, spark):
+        from eventflux_engine_spark.operators.approx import (
+            HIST_SUB,
+            hist_registers,
+        )
+
+        vals = self._vals(spark, 5000)
+        regs = hist_registers(vals, "v", ["g"]).collect()
+        for r in regs:
+            if r.lb == 0:
+                continue
+            lo = 1 << (int(r.lb).bit_length() - 1)
+            # every key is a valid sub-bucket lower bound of its octave
+            assert (r.lb - lo) * HIST_SUB % lo == 0, r.lb
+        assert hist_registers(
+            spark.range(1).select(F.lit("g").alias("g"), F.lit(0).alias("v")),
+            "v",
+            ["g"],
+        ).collect()[0].lb == 0
+
+    def test_register_build_single_shuffle(self, spark):
+        from eventflux_engine_spark.operators.approx import hist_registers
+
+        plan = (
+            hist_registers(self._vals(spark), "v", ["g"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1
+        assert plan.count("HashAggregate") >= 2
