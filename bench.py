@@ -67,10 +67,12 @@ HEADLINE = [
     "events_hll_distinct",
     "multimodal_png_palette",
     # round 5 (final): CMS point queries, substring span dedup (one fp
-    # shuffle + window count), and the Bloom-pruned semi-join
+    # shuffle + window count), the Bloom-pruned semi-join, and the
+    # integer quantile histogram
     "events_cms_topk",
     "dedup_substring_spans",
     "events_bloom_prune_join",
+    "events_quantile_histogram",
 ]
 
 CEP_TURNS = int(os.environ.get("SPARK_GRAFT_CEP_TURNS", "2000000"))
