@@ -247,3 +247,54 @@ class TestAsofStream:
         q.stop()
         rows = spark.sql("SELECT * FROM asof_rt").collect()
         assert len(rows) == 1 and rows[0]["asof_px"] is None
+
+
+class TestStreamingSketchMaintenance:
+    """The sketches are live-maintainable: their register builds are plain
+    streaming aggregations, so update-mode emission keeps the register
+    table current per micro-batch and the FINAL state equals the batch
+    sketch — the 'daily sketches arrive from a stream' shape. Registers
+    are monotone under their merge op (max for HLL ranks, cumulative sum
+    for CMS counts), so max-over-updates reads the final state out of the
+    memory sink's update history."""
+
+    def test_hll_registers_stream_match_batch(self, spark, feed):
+        from eventflux_engine_spark.operators.approx import hll_registers
+
+        t, feed_dir = feed
+        stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+        name = _drain(
+            hll_registers(stream, "conv_id", ["role"]), "hll_live", "update"
+        )
+        updates = spark.sql(f"SELECT * FROM {name}").toPandas()
+        assert len(updates) > 0
+        final = (
+            updates.groupby(["role", "j"])["reg"].max().sort_index()
+        )
+        batch = (
+            hll_registers(t, "conv_id", ["role"])
+            .toPandas()
+            .set_index(["role", "j"])["reg"]
+            .sort_index()
+        )
+        assert final.equals(batch)
+
+    def test_cms_registers_stream_match_batch(self, spark, feed):
+        from eventflux_engine_spark.operators.approx import cms_registers
+
+        t, feed_dir = feed
+        stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+        name = _drain(
+            cms_registers(stream, "conv_id", ["role"]), "cms_live", "update"
+        )
+        updates = spark.sql(f"SELECT * FROM {name}").toPandas()
+        final = (
+            updates.groupby(["role", "i", "j"])["cnt"].max().sort_index()
+        )
+        batch = (
+            cms_registers(t, "conv_id", ["role"])
+            .toPandas()
+            .set_index(["role", "i", "j"])["cnt"]
+            .sort_index()
+        )
+        assert final.equals(batch)
