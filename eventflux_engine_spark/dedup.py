@@ -286,6 +286,55 @@ signatures AS (
 """
 
 
+def band_bucket_table(
+    sig: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(doc_id, band, bkey) bucket rows from a signature frame. Band rows
+    come from ONE explode over an array of (band, key) structs — NOT a
+    union of per-band selects: Catalyst prunes a union branch's agg to
+    just that band's columns and replicates the whole upstream
+    shingle+hash+agg pipeline once PER BAND (observed 4x + 2x join sides
+    = 8x the explode/md5 work in the executed plan)."""
+    entries = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("__bb")
+    ).select(
+        "doc_id",
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bkey").alias("bkey"),
+    )
+
+
+def lsh_probe_pairs(
+    index_sig: DataFrame,
+    probe_sig: DataFrame,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Asymmetric LSH probe — the incremental-dedup SERVING shape: an
+    incoming batch (probe side) is matched against an existing corpus
+    index (index side) by equi-joining their band buckets, so no
+    corpus×corpus (or probe×probe) candidate is ever generated. At
+    100 TB the corpus bucket table is the persisted index (docs × bands
+    narrow rows, bucketable by bkey); a daily increment joins against it
+    and only the increment's buckets are computed fresh. Returns
+    (doc_a = index doc, doc_b = probe doc) candidate pairs."""
+    ib = band_bucket_table(index_sig, bands, rows_per_band)
+    pb = band_bucket_table(probe_sig, bands, rows_per_band)
+    return (
+        ib.alias("i")
+        .join(pb.alias("p"), ["band", "bkey"])
+        .select(
+            F.col("i.doc_id").alias("doc_a"), F.col("p.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     bands: int = BANDS,
@@ -306,19 +355,7 @@ def lsh_candidate_pairs(
     (max observed bucket 7 at sf0.1) and is mirrored in
     :func:`lsh_pairs_sql`, so the oracle stays exact; pass ``None`` for
     uncapped reference semantics."""
-    # band rows come from ONE explode over an array of (band, key) structs —
-    # NOT a union of per-band selects: Catalyst prunes a union branch's agg
-    # to just that band's columns and replicates the whole upstream
-    # shingle+hash+agg pipeline once PER BAND (observed 4x + 2x join sides
-    # = 8x the explode/md5 work in the executed plan)
-    entries = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
-        entries.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*entries)).alias("__bb")
-    ).select("doc_id", F.col("__bb.band").alias("band"), F.col("__bb.bkey").alias("bkey"))
+    buckets = band_bucket_table(sig, bands, rows_per_band)
     # the bucket table is TINY (docs × bands narrow rows) but feeds up to
     # three plan arms (both self-join sides + the cap's key set), and
     # Catalyst replicates the whole shingle→md5→signature pipeline into

@@ -1216,3 +1216,62 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicate_span_stats(_aug_docs(spark, sf_dir))
+
+
+def _probe_sql() -> str:
+    ctes = [
+        """documents_probe AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, substr(text, 10) AS text
+  FROM documents WHERE doc_id % 3 = 0
+)""",
+    ]
+    for c in (
+        DD.shingles_sql(source="documents_probe"),
+        DD.minhash_sql(),
+        DD.lsh_pairs_sql(max_bucket=None),
+        DD.JACCARD_SQL,
+    ):
+        ctes.append(c.strip().lstrip(",").strip())
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT doc_a, doc_b, jaccard FROM jac"
+        + "\nWHERE jaccard >= 0.5 AND doc_a < 500000 AND doc_b >= 500000"
+    )
+
+
+@register(
+    "dedup_incremental_probe",
+    _probe_sql(),
+    doc="incremental-dedup SERVING path (dedup.py lsh_probe_pairs): an "
+    "incoming batch (each %3 doc with its first 9 chars dropped, ids "
+    "+500000) probes the existing corpus LSH index ASYMMETRICALLY — "
+    "index band buckets equi-join probe band buckets, so no "
+    "corpus x corpus or probe x probe candidate is ever generated; "
+    "candidates are then exact-Jaccard verified at >= 0.5 against the "
+    "union shingle table. At 100 TB the corpus bucket table IS the "
+    "persisted index (docs x bands narrow rows); a daily increment "
+    "computes only its own signatures and joins. The oracle proves the "
+    "asymmetric join equals the classic union self-join restricted to "
+    "cross-side pairs (same bands, same signatures, cap off on both "
+    "paths)",
+)
+def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.col("text").substr(F.lit(10), F.length("text")).alias("text"),
+        )
+    )
+    sh_c = DD.doc_shingles(docs)
+    sh_p = DD.doc_shingles(probe)
+    pairs = DD.lsh_probe_pairs(
+        DD.minhash_signatures(sh_c), DD.minhash_signatures(sh_p)
+    )
+    return DD.jaccard_on_candidates(sh_c.unionByName(sh_p), pairs).filter(
+        F.col("jaccard") >= 0.5
+    )

@@ -1442,3 +1442,57 @@ class TestSubstringSpans:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIncrementalProbe:
+    """Asymmetric LSH probe: serving-path candidates only cross sides."""
+
+    def test_probe_finds_sources_and_only_cross_pairs(self, spark):
+        from eventflux_engine_spark import dedup as DD
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        ).limit(200)
+        from pyspark.sql import functions as F
+
+        probe = docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.col("text").substr(F.lit(10), F.length("text")).alias("text"),
+        )
+        pairs = DD.lsh_probe_pairs(
+            DD.minhash_signatures(DD.doc_shingles(docs)),
+            DD.minhash_signatures(DD.doc_shingles(probe)),
+        ).collect()
+        assert len(pairs) > 0
+        # every pair crosses sides: doc_a from the corpus, doc_b a probe
+        assert all(r.doc_a < 500000 <= r.doc_b for r in pairs)
+        # every probe doc's own source is among its candidates (dropping
+        # 9 chars leaves nearly all shingles intact -> all bands agree
+        # with high probability; exactness is the ORACLE's job, this pins
+        # the serving property on a concrete corpus)
+        found = {(r.doc_b - 500000, r.doc_b) for r in pairs if r.doc_a == r.doc_b - 500000}
+        n_probe = probe.count()
+        assert len(found) >= n_probe * 0.9
+
+    def test_probe_plan_has_single_bucket_join(self, spark):
+        from eventflux_engine_spark import dedup as DD
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        ).limit(50)
+        probe = docs.select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+        plan = (
+            DD.lsh_probe_pairs(
+                DD.minhash_signatures(DD.doc_shingles(docs)),
+                DD.minhash_signatures(DD.doc_shingles(probe)),
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one equi-join of the two bucket tables, no cartesian anywhere
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
