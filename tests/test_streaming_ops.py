@@ -298,3 +298,22 @@ class TestStreamingSketchMaintenance:
             .sort_index()
         )
         assert final.equals(batch)
+
+    def test_hist_registers_stream_match_batch(self, spark, feed):
+        from eventflux_engine_spark.operators.approx import hist_registers
+
+        t, feed_dir = feed
+        stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+        expr = "length(text)"  # integer value column available in the feed
+        name = _drain(
+            hist_registers(stream, expr, ["role"]), "hist_live", "update"
+        )
+        updates = spark.sql(f"SELECT * FROM {name}").toPandas()
+        final = updates.groupby(["role", "lb"])["cnt"].max().sort_index()
+        batch = (
+            hist_registers(t, expr, ["role"])
+            .toPandas()
+            .set_index(["role", "lb"])["cnt"]
+            .sort_index()
+        )
+        assert final.equals(batch)
