@@ -2870,3 +2870,123 @@ def q_events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").cast("bigint").alias("est_cents"),
         F.col("exact_cents").cast("bigint").alias("exact_cents"),
     )
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH hourly AS (
+      SELECT user_id,
+             cast(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS he,
+             cast(sum(cast(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE user_id % 10 = 0
+      GROUP BY user_id, cast(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+    ),
+    spans AS (
+      SELECT user_id, min(he) AS h0, max(he) AS h1 FROM hourly
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS he FROM spans
+    ),
+    joined AS (
+      SELECT g.user_id, g.he, h.cents,
+             CASE WHEN h.cents IS NULL THEN 1 ELSE 0 END AS is_gap
+      FROM grid g LEFT JOIN hourly h USING (user_id, he)
+    )
+    SELECT user_id, he AS hour_epoch,
+           cast(last_value(cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY he
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents_filled,
+           cast(is_gap AS INTEGER) AS is_gap
+    FROM joined
+    """,
+    doc="time-series gap-fill with last-observation-carried-forward "
+    "(beyond the reference — its incremental aggs only emit buckets that "
+    "HAVE data): each sampled user's hourly grid is densified between "
+    "their first and last event (integer epoch-hour sequence explode — "
+    "engine-neutral, no interval arithmetic), missing hours join null "
+    "and fill via last(cents, ignorenulls) over the per-user ordered "
+    "window; integer-cents money discipline end to end. Scale shape: one "
+    "groupBy for the hourly sums, a per-user span agg, a narrow sequence "
+    "explode (grid rows, not events), one shuffle-shared window — the "
+    "grid never multiplies the raw event table",
+)
+def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datamodel import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    he = (F.floor(epoch_seconds("ts") / 3600) * 3600).cast("bigint")
+    hourly = (
+        ev.select("user_id", he.alias("he"),
+                  F.expr("cast(floor(value * 100 + 0.5) AS bigint)").alias("c"))
+        .groupBy("user_id", "he")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("he").alias("h0"), F.max("he").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("he"),
+    )
+    joined = grid.join(hourly, ["user_id", "he"], "left").select(
+        "user_id",
+        "he",
+        "cents",
+        F.when(F.col("cents").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("he")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("he").alias("hour_epoch"),
+        F.last("cents", ignorenulls=True).over(w).cast("bigint").alias(
+            "cents_filled"
+        ),
+        F.col("is_gap").cast("int").alias("is_gap"),
+    )
+
+
+@register(
+    "events_rollup_daily",
+    """
+    SELECT coalesce(event_type, '__total__') AS etype,
+           coalesce(cast(cast(ts AS DATE) AS VARCHAR), '__total__') AS day,
+           count(*) AS n_events,
+           cast(sum(cast(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY ROLLUP (event_type, cast(cast(ts AS DATE) AS VARCHAR))
+    """,
+    doc="OLAP ROLLUP (beyond the reference — no grouping sets in its "
+    "dialect): (type, day) / (type) / () grouping sets in ONE pass — "
+    "Spark's Expand feeds a single hash aggregate, so the super-"
+    "aggregates cost one extra map-side row per input row, not a second "
+    "scan; null grouping keys disambiguated via coalesce sentinels, "
+    "integer-cents money discipline",
+)
+def q_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.expr("cast(floor(value * 100 + 0.5) AS bigint)").alias("c"),
+    )
+    return (
+        base.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").cast("bigint").alias("cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("__total__")).alias("etype"),
+            F.coalesce("day", F.lit("__total__")).alias("day"),
+            "n_events",
+            "cents",
+        )
+    )

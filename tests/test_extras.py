@@ -1496,3 +1496,58 @@ class TestIncrementalProbe:
         # one equi-join of the two bucket tables, no cartesian anywhere
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestGapfillRollup:
+    def test_gapfill_hand_case(self, spark):
+        import pandas as pd
+
+        from __spark_entry__ import queries  # noqa: F401 (registry import)
+        from eventflux_engine_spark.plans.registry_ext import (
+            q_events_gapfill_locf,
+        )
+
+        # direct frame: one user with hours 0, 2 present (gap at hour 1)
+        pdf = pd.DataFrame(
+            {
+                "user_id": [10, 10, 10],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 02:20"]
+                ),
+                "value": [1.00, 2.00, 7.00],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        import os, tempfile
+
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r.user_id, r.hour_epoch): r
+            for r in q_events_gapfill_locf(spark, d).collect()
+        }
+        assert len(out) == 3  # hours 0,1,2 densified
+        hours = sorted(k[1] for k in out)
+        h0, h1, h2 = hours
+        assert h1 - h0 == 3600 and h2 - h1 == 3600
+        assert out[(10, h0)].cents_filled == 300 and out[(10, h0)].is_gap == 0
+        assert out[(10, h1)].cents_filled == 300 and out[(10, h1)].is_gap == 1
+        assert out[(10, h2)].cents_filled == 700 and out[(10, h2)].is_gap == 0
+
+    def test_rollup_single_pass_plan_and_totals(self, spark):
+        from eventflux_engine_spark.plans.registry_ext import (
+            q_events_rollup_daily,
+        )
+
+        df = q_events_rollup_daily(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # grouping sets compile to Expand over ONE scan, not a union of
+        # re-aggregations
+        assert "Expand" in plan
+        assert plan.count("FileScan") == 1
+        rows = df.collect()
+        total = [r for r in rows if r.etype == "__total__"]
+        assert len(total) == 1  # grand total only (no __total__ per day)
+        assert total[0].n_events == sum(
+            r.n_events for r in rows if r.etype != "__total__" and r.day == "__total__"
+        )
