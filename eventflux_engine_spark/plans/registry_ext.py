@@ -2990,3 +2990,50 @@ def q_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_type_matrix",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'error') AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup') AS n_signup,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           cast(coalesce(sum(cast(floor(value * 100 + 0.5) AS BIGINT))
+                  FILTER (event_type = 'purchase'), 0) AS BIGINT)
+             AS purchase_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="PIVOT to a fixed wide matrix (beyond the reference — no pivot in "
+    "its dialect): per-user counts by event type + purchase cents, via "
+    "groupBy().pivot(col, EXPLICIT value list) — the explicit list is "
+    "the scale discipline (no driver-side distinct pass to discover "
+    "columns, single hash agg over one scan); the oracle is conditional "
+    "FILTER aggregation, the engine-neutral spelling of the same matrix",
+)
+def q_events_pivot_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) AS bigint)").alias("c"),
+    )
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+        F.coalesce(F.col("purchase_s"), F.lit(0)).cast("bigint").alias(
+            "purchase_cents"
+        ),
+    )
