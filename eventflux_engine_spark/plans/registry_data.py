@@ -558,10 +558,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_scores",
-    """
-    SELECT doc_id, round(
+_QUALITY_SQL = """round(
         0.4 * (CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
       + 0.4 * (CASE WHEN length(text) > 0
                THEN len(regexp_extract_all(text, '([a-zA-Z0-9])', 0)) / length(text)
@@ -572,7 +569,30 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
          + len(regexp_extract_all(' ' || lower(text) || ' ', '( of )', 0))
          + len(regexp_extract_all(' ' || lower(text) || ' ', '( is )', 0))
          + len(regexp_extract_all(' ' || lower(text) || ' ', '( to )', 0)))
-          * 4.0 / len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS quality
+          * 4.0 / len(regexp_split_to_array(trim(text), '\\s+'))), 4)"""
+
+
+def _quality_col() -> "F.Column":
+    """Spark twin of ``_QUALITY_SQL`` (the gated rounded score)."""
+    n = F.length("text")
+    alnum = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("([a-zA-Z0-9])"), F.lit(0))
+    )
+    len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    toks = TX.token_count(F.col("text"))
+    stop = TX.stopword_hits(F.col("text"), "en")
+    return F.round(
+        0.4 * len_ok
+        + 0.4 * F.when(n > 0, alnum / n).otherwise(F.lit(0.0))
+        + 0.2 * F.least(F.lit(1.0), stop * 4.0 / toks),
+        4,
+    )
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
     FROM documents
     """,
     doc="document quality scoring: length band + alnum ratio + stopword "
@@ -580,18 +600,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n = F.length("text")
-    alnum = F.size(F.regexp_extract_all(F.col("text"), F.lit("([a-zA-Z0-9])"), F.lit(0)))
-    len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
-    toks = TX.token_count(F.col("text"))
-    stop = TX.stopword_hits(F.col("text"), "en")
-    quality = F.round(
-        0.4 * len_ok
-        + 0.4 * F.when(n > 0, alnum / n).otherwise(F.lit(0.0))
-        + 0.2 * F.least(F.lit(1.0), stop * 4.0 / toks),
-        4,
-    )
-    return docs.select("doc_id", quality.alias("quality"))
+    return docs.select("doc_id", _quality_col().alias("quality"))
 
 
 @register(
@@ -1274,4 +1283,72 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return DD.jaccard_on_candidates(sh_c.unionByName(sh_p), pairs).filter(
         F.col("jaccard") >= 0.5
+    )
+
+
+def _pipeline_sql() -> str:
+    tokens = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    split = (
+        f"CASE WHEN {DD.hash32_sql('cast(doc_id AS VARCHAR)', 7)} % 100 < 90"
+        " THEN 'train'"
+        f" WHEN {DD.hash32_sql('cast(doc_id AS VARCHAR)', 7)} % 100 < 95"
+        " THEN 'val' ELSE 'test' END"
+    )
+    norm = DD.NORMALIZE_SQL.format(c="text")
+    return _docs_sql(
+        f"""
+    SELECT lang_pred, split, count(*) AS n_docs,
+           cast(sum(toks) AS BIGINT) AS total_tokens
+    FROM final GROUP BY lang_pred, split
+    """,
+        extra_ctes=[
+            f"scored AS (SELECT doc_id, text, {_QUALITY_SQL} AS q FROM documents_aug)",
+            "qual AS (SELECT doc_id, text FROM scored WHERE q >= 0.55)",
+            f"fps AS (SELECT doc_id, text, md5({norm}) AS fp FROM qual)",
+            "keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp)",
+            "kept AS (SELECT f.doc_id, f.text FROM fps f JOIN keep k ON k.doc_id = f.doc_id)",
+            f"""final AS (
+  SELECT {_lang_id_sql()} AS lang_pred, {split} AS split, {tokens} AS toks
+  FROM kept
+)""",
+        ],
+    )
+
+
+@register(
+    "curation_pipeline_e2e",
+    _pipeline_sql(),
+    doc="END-TO-END curation pipeline as ONE query — the composition "
+    "story: quality-score filter (gated rounded formula, >= 0.55) -> "
+    "exact-dedup keep-list (md5 fingerprint, keep = min doc_id; the "
+    "planted copies in documents_aug are really dropped) -> language ID "
+    "-> deterministic 90/5/5 hash split -> per-(lang, split) doc and "
+    "token budgets. Every stage is an already-gated operator; the "
+    "composite proves they compose in one plan: narrow scoring, one "
+    "fingerprint shuffle + keep-list join, then a tiny final agg — no "
+    "stage materializes the corpus twice",
+)
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _aug_docs(spark, sf_dir)
+    qual = docs.select("doc_id", "text", _quality_col().alias("q")).filter(
+        F.col("q") >= 0.55
+    )
+    fps = qual.select(
+        "doc_id", "text", F.md5(DD.normalize_ascii(F.col("text"))).alias("fp")
+    )
+    keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = fps.join(keep.select("doc_id"), "doc_id").select("doc_id", "text")
+    h = DD.hash32(F.col("doc_id").cast("string"), 7) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    final = kept.select(
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        split.alias("split"),
+        TX.token_count(F.col("text")).alias("toks"),
+    )
+    return final.groupBy("lang_pred", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
     )
