@@ -73,6 +73,11 @@ HEADLINE = [
     "dedup_substring_spans",
     "events_bloom_prune_join",
     "events_quantile_histogram",
+    # round 5 (last): serving-path probe, the composed curation pipeline,
+    # and the grid-densifying gap-fill
+    "dedup_incremental_probe",
+    "curation_pipeline_e2e",
+    "events_gapfill_locf",
 ]
 
 CEP_TURNS = int(os.environ.get("SPARK_GRAFT_CEP_TURNS", "2000000"))

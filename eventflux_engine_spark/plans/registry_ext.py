@@ -2952,46 +2952,6 @@ def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_rollup_daily",
-    """
-    SELECT coalesce(event_type, '__total__') AS etype,
-           coalesce(cast(cast(ts AS DATE) AS VARCHAR), '__total__') AS day,
-           count(*) AS n_events,
-           cast(sum(cast(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-             AS cents
-    FROM events
-    GROUP BY ROLLUP (event_type, cast(cast(ts AS DATE) AS VARCHAR))
-    """,
-    doc="OLAP ROLLUP (beyond the reference — no grouping sets in its "
-    "dialect): (type, day) / (type) / () grouping sets in ONE pass — "
-    "Spark's Expand feeds a single hash aggregate, so the super-"
-    "aggregates cost one extra map-side row per input row, not a second "
-    "scan; null grouping keys disambiguated via coalesce sentinels, "
-    "integer-cents money discipline",
-)
-def q_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "event_type",
-        F.col("ts").cast("date").cast("string").alias("day"),
-        F.expr("cast(floor(value * 100 + 0.5) AS bigint)").alias("c"),
-    )
-    return (
-        base.rollup("event_type", "day")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("c").cast("bigint").alias("cents"),
-        )
-        .select(
-            F.coalesce("event_type", F.lit("__total__")).alias("etype"),
-            F.coalesce("day", F.lit("__total__")).alias("day"),
-            "n_events",
-            "cents",
-        )
-    )
-
-
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

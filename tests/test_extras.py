@@ -1535,19 +1535,17 @@ class TestGapfillRollup:
         assert out[(10, h2)].cents_filled == 700 and out[(10, h2)].is_gap == 0
 
     def test_rollup_single_pass_plan_and_totals(self, spark):
-        from eventflux_engine_spark.plans.registry_ext import (
-            q_events_rollup_daily,
-        )
+        from eventflux_engine_spark.plans.registry_ext import q_events_rollup
 
-        df = q_events_rollup_daily(spark, "/root/testdata/sf0.001")
+        df = q_events_rollup(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         # grouping sets compile to Expand over ONE scan, not a union of
         # re-aggregations
         assert "Expand" in plan
         assert plan.count("FileScan") == 1
         rows = df.collect()
-        total = [r for r in rows if r.etype == "__total__"]
-        assert len(total) == 1  # grand total only (no __total__ per day)
-        assert total[0].n_events == sum(
-            r.n_events for r in rows if r.etype != "__total__" and r.day == "__total__"
+        total = [r for r in rows if r.etype == "ALL"]
+        assert len(total) == 1  # grand total only (no ALL row per day)
+        assert total[0].n == sum(
+            r.n for r in rows if r.etype != "ALL" and r.day == "ALL"
         )
