@@ -1352,3 +1352,36 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "curation_exact_k_sample",
+    f"""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('samp:' || cast(doc_id AS VARCHAR)), doc_id
+             ) AS r
+      FROM documents
+    ) WHERE r <= 20
+    """,
+    doc="EXACT-k-per-group deterministic sample (the 'exactly 1000 docs "
+    "per domain' mixture primitive, complementing the fraction-based "
+    "stratified gate): rank by a content-stable hash inside each source, "
+    "keep rank <= k. The rank<=k filter compiles to WindowGroupLimit "
+    "with a PARTIAL pass BEFORE the exchange (plan-asserted in pytest), "
+    "so each map task ships at most k rows per group — the shuffle "
+    "carries k x partitions rows per group at 100 TB, not the group. "
+    "Reproducible on any cluster size (hash order, doc_id tie-break)",
+)
+def q_curation_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 20)
+        .select("source", "doc_id")
+    )

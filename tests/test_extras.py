@@ -1549,3 +1549,48 @@ class TestGapfillRollup:
         assert total[0].n == sum(
             r.n for r in rows if r.etype != "ALL" and r.day == "ALL"
         )
+
+
+class TestExactKSample:
+    def test_partial_window_group_limit_before_exchange(self, spark):
+        from eventflux_engine_spark.plans.registry_data import (
+            q_curation_exact_k_sample,
+        )
+
+        df = q_curation_exact_k_sample(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the map-side prune IS the scale story: a Partial WindowGroupLimit
+        # must sit below the exchange so each task ships <= k rows/group
+        ex = plan.index("Exchange hashpartitioning(source")
+        assert "WindowGroupLimit" in plan[:ex]  # Final, above
+        assert "Partial" in plan[ex:]  # Partial, below the exchange
+
+    def test_partitioning_invariant_selection(self, spark):
+        from eventflux_engine_spark.plans.registry_data import (
+            q_curation_exact_k_sample,
+        )
+        import eventflux_engine_spark.datamodel as DM
+
+        base = q_curation_exact_k_sample(spark, SF)
+        a = sorted(map(tuple, base.collect()))
+        # same selection regardless of input partitioning: rerun over a
+        # repartitioned view of the same table
+        docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(13)
+        from pyspark.sql import Window, functions as F
+
+        h = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+        w = Window.partitionBy("source").orderBy(h, "doc_id")
+        b = sorted(
+            map(
+                tuple,
+                docs.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= 20)
+                .select("source", "doc_id")
+                .collect(),
+            )
+        )
+        assert a == b
+        per = {}
+        for s, _ in a:
+            per[s] = per.get(s, 0) + 1
+        assert all(v <= 20 for v in per.values())
