@@ -1385,3 +1385,65 @@ def q_curation_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 20)
         .select("source", "doc_id")
     )
+
+
+def _zorder_sql() -> str:
+    from .. import storage as ST
+
+    z = ST.morton_sql("u", "d", 16, engine_div="//")
+    return f"""
+    WITH dims AS (
+      SELECT user_id % 65536 AS u,
+             cast(floor(epoch(ts) / 86400) -
+                  floor(epoch(TIMESTAMP '2024-01-01') / 86400) AS BIGINT) AS d
+      FROM events
+    ),
+    keyed AS (
+      SELECT u, d, {z} AS z FROM dims
+    ),
+    ranged AS (
+      SELECT u, d, z, z // 4096 AS z_range FROM keyed
+    )
+    SELECT z_range, count(*) AS n,
+           cast(min(u) AS BIGINT) AS u_min, cast(max(u) AS BIGINT) AS u_max,
+           cast(min(d) AS BIGINT) AS d_min, cast(max(d) AS BIGINT) AS d_max,
+           cast(min(z) AS BIGINT) AS z_min, cast(max(z) AS BIGINT) AS z_max
+    FROM ranged GROUP BY z_range
+    """
+
+
+@register(
+    "events_zorder_layout",
+    _zorder_sql(),
+    doc="Z-order (Morton) clustering key (storage.py morton_sql/"
+    "morton_col; the multi-dimensional layout primitive behind "
+    "OPTIMIZE ZORDER): user and day bits interleave into one integer "
+    "sort key via pure shift-and-add (identical text in both engines), "
+    "and the gate emits per-z-range min/max rectangles over BOTH "
+    "dimensions — the exact statistics a file-skipping reader would "
+    "consult; a locality pytest asserts each range's (u, d) rectangle "
+    "is a small fraction of the global domain on both axes, which is "
+    "the property that makes either-dimension predicates prune files "
+    "after one re-sort at 100 TB",
+)
+def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import storage as ST
+    from ..datamodel import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    day0 = 19723  # floor(epoch('2024-01-01') / 86400), fixed epoch day
+    dims = ev.select(
+        (F.col("user_id") % 65536).alias("u"),
+        (F.floor(epoch_seconds("ts") / 86400) - day0).cast("bigint").alias("d"),
+    )
+    keyed = dims.withColumn("z", ST.morton_col("u", "d", 16))
+    ranged = keyed.withColumn("z_range", F.expr("z div 4096"))
+    return ranged.groupBy("z_range").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("u").cast("bigint").alias("u_min"),
+        F.max("u").cast("bigint").alias("u_max"),
+        F.min("d").cast("bigint").alias("d_min"),
+        F.max("d").cast("bigint").alias("d_max"),
+        F.min("z").cast("bigint").alias("z_min"),
+        F.max("z").cast("bigint").alias("z_max"),
+    )

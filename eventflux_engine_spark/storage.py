@@ -92,3 +92,30 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+# -- Z-order (Morton) clustering key -----------------------------------------
+# The multi-dimensional layout primitive behind Delta/Iceberg's
+# OPTIMIZE ZORDER: interleaving the bits of two dimension keys yields a
+# 1-D sort key whose contiguous ranges cover LOCALIZED rectangles of the
+# (a, b) space, so min/max file statistics prune scans on EITHER
+# dimension after a single re-sort. Pure integer shift-and-add — the
+# identical expression runs in Spark SQL (`div`) and DuckDB (`//`), so
+# the layout key (and every per-range statistic) is value-hash exact.
+
+
+def morton_sql(a: str, b: str, bits: int = 16, engine_div: str = "div") -> str:
+    """Interleaved Morton code of two non-negative ints (a even bits, b
+    odd bits). `engine_div` is 'div' for Spark SQL, '//' for DuckDB."""
+    d = engine_div
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a}) {d} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({b}) {d} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def morton_col(a: str, b: str, bits: int = 16):
+    from pyspark.sql import functions as F
+
+    return F.expr(morton_sql(a, b, bits)).cast("bigint")

@@ -1594,3 +1594,63 @@ class TestExactKSample:
         for s, _ in a:
             per[s] = per.get(s, 0) + 1
         assert all(v <= 20 for v in per.values())
+
+
+class TestZOrderLayout:
+    def test_morton_locality_on_grid(self, spark):
+        # a 4096 x 32 (u, d) grid: every z-range's (u, d) rectangle must
+        # be a small fraction of the global domain on BOTH axes — the
+        # file-skipping property that makes either-dimension predicates
+        # prune after one re-sort
+        from pyspark.sql import functions as F
+
+        from eventflux_engine_spark.storage import morton_col
+
+        grid = (
+            spark.range(0, 1024 * 1024)
+            .select(
+                (F.col("id") % 1024).alias("u"),
+                (F.col("id") / 1024).cast("bigint").alias("d"),
+            )
+        )
+        ranged = grid.withColumn("z", morton_col("u", "d", 16)).withColumn(
+            "z_range", F.expr("z div 4096")
+        )
+        rows = ranged.groupBy("z_range").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        ).collect()
+        assert len(rows) == 256  # 1M points / 4096 per range, z-space dense
+        n = sum(r.n for r in rows)
+        avg_u = sum((r.u_max - r.u_min) * r.n for r in rows) / n
+        avg_d = sum((r.d_max - r.d_min) * r.n for r in rows) / n
+        # each 4096-point z-range is a 64x64 tile of the 1024x1024 grid:
+        # ~6% of the global span on EACH axis — both dimensions prune
+        assert avg_u <= 1023 * 0.1, avg_u
+        assert avg_d <= 1023 * 0.1, avg_d
+        for r in rows:
+            assert r.z_range * 4096 <= r.z_min <= r.z_max < (r.z_range + 1) * 4096
+
+    def test_morton_bit_interleave_exact(self, spark):
+        import random
+
+        from eventflux_engine_spark.storage import morton_col
+
+        from pyspark.sql import functions as F
+
+        rng = random.Random(7)
+        cases = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(50)]
+        df = spark.createDataFrame(cases, "a long, b long").select(
+            "a", "b", morton_col("a", "b", 16).alias("z")
+        )
+        for r in df.collect():
+            z = 0
+            for i in range(16):
+                z |= ((r.a >> i) & 1) << (2 * i)
+                z |= ((r.b >> i) & 1) << (2 * i + 1)
+            assert r.z == z, (r.a, r.b)
