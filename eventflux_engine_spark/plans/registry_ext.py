@@ -2997,3 +2997,47 @@ def q_events_pivot_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_cents"
         ),
     )
+
+
+@register(
+    "events_unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT user_id,
+             count(*) FILTER (event_type = 'click') AS n_click,
+             count(*) FILTER (event_type = 'purchase') AS n_purchase,
+             count(*) FILTER (event_type = 'view') AS n_view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n FROM (
+      SELECT user_id, 'click' AS metric, n_click AS n FROM wide
+      UNION ALL
+      SELECT user_id, 'purchase', n_purchase FROM wide
+      UNION ALL
+      SELECT user_id, 'view', n_view FROM wide
+    ) WHERE n > 0
+    """,
+    doc="UNPIVOT (melt) back to long form via stack() — the inverse of "
+    "the pivot gate, closing the wide<->long pair: stack expands each "
+    "wide row to k metric rows INLINE (a Generate node over the agg "
+    "output — no join, no union re-scan; the oracle's UNION ALL spelling "
+    "re-reads the wide CTE three times, which is exactly what stack "
+    "avoids at scale)",
+)
+def q_events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'click', click, 'purchase', purchase, 'view', view) "
+            "AS (metric, n)"
+        ),
+    )
+    return long.filter(F.col("n") > 0).select(
+        "user_id", "metric", F.col("n").cast("bigint").alias("n")
+    )
