@@ -501,3 +501,86 @@ def asof_stream(
         proc, out_schema, "ts double, val double", "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def gapfill_stream(
+    feed: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming twin of the batch LOCF gap-fill (events_gapfill_locf):
+    per-key time buckets emit as they CLOSE — the first row of a LATER
+    bucket closes the open one — and the missing buckets in between emit
+    synthesized rows carrying the last closed bucket's sum (``is_gap=1``),
+    so downstream consumers always see a dense per-key hourly series.
+
+    State per key is O(1): (open_bucket, open_sum). Money discipline
+    matches batch (integer cents via floor(value*100+0.5)). Processing-
+    order semantics like :func:`asof_stream`: a row arriving after its
+    bucket closed is dropped (documented divergence); on a time-ordered
+    feed the output equals the batch operator minus each key's final,
+    never-closed bucket — pinned in TestGapfillStream.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    b = int(bucket_seconds)
+    src = feed.select(
+        F.col(key).cast("bigint").alias("__k"),
+        F.col(ts_col).cast("timestamp_ltz").cast("double").alias("__ts"),
+        F.expr(
+            f"cast(floor({value_col} * 100 + 0.5) AS bigint)"
+        ).alias("__c"),
+    )
+    out_schema = (
+        f"{key} bigint, hour_epoch bigint, cents_filled bigint, is_gap int"
+    )
+
+    def proc(key_tuple, pdfs, state):
+        pdf = pd.concat(list(pdfs)).sort_values("__ts", kind="stable")
+        he = (np.floor(pdf["__ts"].to_numpy() / b) * b).astype(np.int64)
+        cents = pdf["__c"].to_numpy(dtype=np.int64)
+        if state.exists:
+            open_he, open_sum = state.get
+        else:
+            open_he, open_sum = None, 0
+        rows = []
+        # bucket ids arrive sorted (feed sorted by ts); group-sum runs of
+        # equal he in order
+        uniq, starts = np.unique(he, return_index=True)
+        order = np.argsort(starts)
+        for h in uniq[order]:
+            s = int(cents[he == h].sum())
+            if open_he is None:
+                open_he, open_sum = int(h), s
+            elif h == open_he:
+                open_sum += s
+            elif h > open_he:
+                rows.append((open_he, open_sum, 0))
+                for m in range(open_he + b, int(h), b):
+                    rows.append((m, open_sum, 1))
+                open_he, open_sum = int(h), s
+            # h < open_he: late row for a closed bucket -> dropped
+            # (processing-order semantics, same contract as asof_stream)
+        state.update((int(open_he), int(open_sum)))
+        if rows:
+            k = key_tuple[0]
+            yield pd.DataFrame(
+                {
+                    key: np.full(len(rows), k, dtype=np.int64),
+                    "hour_epoch": [r[0] for r in rows],
+                    "cents_filled": [r[1] for r in rows],
+                    "is_gap": pd.Series([r[2] for r in rows], dtype="int32"),
+                }
+            )
+
+    return src.groupBy("__k").applyInPandasWithState(
+        proc,
+        out_schema,
+        "open_he bigint, open_sum bigint",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

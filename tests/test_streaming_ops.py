@@ -317,3 +317,86 @@ class TestStreamingSketchMaintenance:
             .sort_index()
         )
         assert final.equals(batch)
+
+
+class TestGapfillStream:
+    def test_matches_batch_minus_open_buckets(self, spark, tmpdir):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from eventflux_engine_spark.plans.registry_ext import (
+            q_events_gapfill_locf,
+        )
+        from eventflux_engine_spark.streaming import chunked_feed, stream_from_dir
+        from eventflux_engine_spark.streaming.pipelines import gapfill_stream
+
+        ev = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .filter(F.col("user_id") % 10 == 0)
+            .select("user_id", "ts", "value")
+        )
+        feed_dir = os.path.join(tmpdir, "evfeed")
+        chunked_feed(ev, feed_dir, 4, ["ts", "user_id"])
+        stream = stream_from_dir(
+            spark, feed_dir, "user_id bigint, ts timestamp, value double"
+        )
+        name = _drain(gapfill_stream(stream), "gapfill_live", "append")
+        got = {
+            (r.user_id, r.hour_epoch): (r.cents_filled, r.is_gap)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        batch = q_events_gapfill_locf(spark, SF).collect()
+        # streaming never closes each key's final bucket
+        last = {}
+        for r in batch:
+            last[r.user_id] = max(last.get(r.user_id, 0), r.hour_epoch)
+        expected = {
+            (r.user_id, r.hour_epoch): (r.cents_filled, r.is_gap)
+            for r in batch
+            if r.hour_epoch < last[r.user_id]
+        }
+        assert len(got) == len(expected) > 0
+        assert got == expected
+
+    def test_gap_rows_carry_last_sum(self, spark, tmpdir):
+        import os
+
+        import pandas as pd
+
+        from eventflux_engine_spark.streaming import chunked_feed, stream_from_dir
+        from eventflux_engine_spark.streaming.pipelines import gapfill_stream
+
+        pdf = pd.DataFrame(
+            {
+                "user_id": [5, 5, 5, 5],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:10",
+                        "2024-01-01 00:40",  # hour 0: 1.00 + 2.00
+                        "2024-01-01 03:05",  # hours 1-2 missing
+                        "2024-01-01 04:00",  # closes hour 3
+                    ]
+                ),
+                "value": [1.00, 2.00, 7.00, 9.00],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        feed_dir = os.path.join(tmpdir, "hand")
+        chunked_feed(df, feed_dir, 2, ["ts", "user_id"])
+        stream = stream_from_dir(
+            spark, feed_dir, "user_id bigint, ts timestamp, value double"
+        )
+        name = _drain(gapfill_stream(stream), "gapfill_hand", "append")
+        rows = sorted(
+            (r.hour_epoch, r.cents_filled, r.is_gap)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        h0 = rows[0][0]
+        hs = 3600
+        assert rows == [
+            (h0, 300, 0),  # hour 0 closed with its own sum
+            (h0 + hs, 300, 1),  # gap carries last sum
+            (h0 + 2 * hs, 300, 1),
+            (h0 + 3 * hs, 700, 0),  # hour 3 closed by the hour-4 arrival
+        ]  # hour 4 never closes -> not emitted
