@@ -283,11 +283,14 @@ def _bloom_hashes(col: str) -> "list[Column]":
     ]
 
 
-def bloom_build(dim: DataFrame, key: str) -> DataFrame:
-    """ONE dense row (`bloom`: array<bigint> of BLOOM_WORDS words) from the
-    dim side's keys. Cost: a distinct on the (small) dim side, a k-cell
-    posexplode, and a word-keyed bit_or that collapses map-side to at most
-    BLOOM_WORDS rows per partition."""
+def bloom_registers(dim: DataFrame, key: str, distinct: bool = True) -> DataFrame:
+    """Sparse (word, bits) register rows for `dim`'s keys — the mergeable
+    (bitwise-OR) core of the filter. A plain aggregation, so it also runs
+    LIVE under Structured Streaming update mode (registers are monotone
+    under OR — TestStreamingSketchMaintenance); ``distinct=False`` skips
+    the set-dedup shuffle (OR is idempotent, so duplicates cannot change
+    any register — required in streaming, where distinct+agg would chain
+    two stateful aggregations)."""
     cells = F.array(
         *[
             F.struct(
@@ -297,9 +300,11 @@ def bloom_build(dim: DataFrame, key: str) -> DataFrame:
             for h in _bloom_hashes(key)
         ]
     )
-    regs = (
-        dim.select(F.col(key)).distinct()
-        .select(F.explode(cells).alias("c"))
+    keyed = dim.select(F.col(key))
+    if distinct:
+        keyed = keyed.distinct()
+    return (
+        keyed.select(F.explode(cells).alias("c"))
         .select(
             F.col("c.word").alias("word"),
             F.expr("shiftleft(cast(1 AS bigint), c.bit)").alias("v"),
@@ -307,6 +312,14 @@ def bloom_build(dim: DataFrame, key: str) -> DataFrame:
         .groupBy("word")
         .agg(F.bit_or("v").alias("bits"))
     )
+
+
+def bloom_build(dim: DataFrame, key: str) -> DataFrame:
+    """ONE dense row (`bloom`: array<bigint> of BLOOM_WORDS words) from the
+    dim side's keys. Cost: a distinct on the (small) dim side, a k-cell
+    posexplode, and a word-keyed bit_or that collapses map-side to at most
+    BLOOM_WORDS rows per partition."""
+    regs = bloom_registers(dim, key)
     dense = (
         dim.sparkSession.range(BLOOM_WORDS)
         .select(F.col("id").cast("int").alias("word"))

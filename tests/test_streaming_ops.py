@@ -299,6 +299,30 @@ class TestStreamingSketchMaintenance:
         )
         assert final.equals(batch)
 
+    def test_bloom_registers_stream_match_batch(self, spark, feed):
+        from eventflux_engine_spark.operators.joins import bloom_registers
+
+        t, feed_dir = feed
+        stream = stream_from_dir(spark, feed_dir, TRANSCRIPT_SCHEMA)
+        # distinct=False: OR is idempotent, and streaming cannot chain
+        # distinct + agg (two stateful operators)
+        name = _drain(
+            bloom_registers(stream, "conv_id", distinct=False),
+            "bloom_live",
+            "update",
+        )
+        updates = spark.sql(f"SELECT * FROM {name}").toPandas()
+        # setting bits only ever increases the (non-negative) word value,
+        # so max-over-updates reads the final register state
+        final = updates.groupby("word")["bits"].max().sort_index()
+        batch = (
+            bloom_registers(t, "conv_id")
+            .toPandas()
+            .set_index("word")["bits"]
+            .sort_index()
+        )
+        assert final.equals(batch)
+
     def test_hist_registers_stream_match_batch(self, spark, feed):
         from eventflux_engine_spark.operators.approx import hist_registers
 
