@@ -74,13 +74,16 @@ def bpe_token_count(c: Column) -> Column:
     """Sub-word-ish token count: a BPE pre-tokenizer's segment count — the
     unit a training-data pipeline budgets by (letters/digits/punct split,
     whitespace dropped)."""
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
 
 
 def _word_hits(c: Column, word: str) -> Column:
-    # count of whole-word occurrences in the padded, lowercased text
+    # count of whole-word occurrences in the padded, lowercased text.
+    # regexp_count matches the same non-overlapping occurrences as
+    # size(regexp_extract_all(...)) but never materializes the match array
+    # (lang_id runs 25 of these per row — the allocation was the wall).
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
-    return F.size(F.regexp_extract_all(padded, F.lit(f"( {word} )"), F.lit(0)))
+    return F.regexp_count(padded, F.lit(f"( {word} )"))
 
 
 def stopword_hits(c: Column, lang: str = "en") -> Column:
@@ -111,7 +114,7 @@ def quality_score(c: Column) -> Column:
     density. The exact formula is mirrored in SQL for the oracle.
     """
     n = F.length(c)
-    alnum = F.size(F.regexp_extract_all(c, F.lit(r"([\p{L}\p{N}])"), F.lit(0)))
+    alnum = F.regexp_count(c, F.lit(r"([\p{L}\p{N}])"))
     alnum_ratio = F.when(n > 0, alnum / n).otherwise(F.lit(0.0))
     len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
     toks = token_count(c)
@@ -158,10 +161,7 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 def pii_counts(c: Column) -> dict[str, Column]:
     """Per-kind PII occurrence counts (regexp_extract_all size — one pass
     per pattern, whole-stage codegen, no Python)."""
-    return {
-        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
-        for kind, pat, _ in PII_PATTERNS
-    }
+    return {kind: F.regexp_count(c, F.lit(pat)) for kind, pat, _ in PII_PATTERNS}
 
 
 def pii_redact(c: Column) -> Column:

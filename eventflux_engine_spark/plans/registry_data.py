@@ -575,9 +575,7 @@ _QUALITY_SQL = """round(
 def _quality_col() -> "F.Column":
     """Spark twin of ``_QUALITY_SQL`` (the gated rounded score)."""
     n = F.length("text")
-    alnum = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit("([a-zA-Z0-9])"), F.lit(0))
-    )
+    alnum = F.regexp_count(F.col("text"), F.lit("([a-zA-Z0-9])"))
     len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
     toks = TX.token_count(F.col("text"))
     stop = TX.stopword_hits(F.col("text"), "en")
@@ -1328,8 +1326,11 @@ def _pipeline_sql() -> str:
     "-> deterministic 90/5/5 hash split -> per-(lang, split) doc and "
     "token budgets. Every stage is an already-gated operator; the "
     "composite proves they compose in one plan: narrow scoring, one "
-    "fingerprint shuffle + keep-list join, then a tiny final agg — no "
-    "stage materializes the corpus twice",
+    "fingerprint shuffle + map-side-combined min_by keep, then a tiny "
+    "final agg — no stage materializes or re-scores the corpus twice "
+    "(the r5 keep-list self-join replicated the regex scoring pass into "
+    "both join arms; min_by(text, doc_id) keeps the min doc's text in "
+    "the same single aggregation that finds the min doc_id)",
 )
 def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _aug_docs(spark, sf_dir)
@@ -1339,8 +1340,10 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = qual.select(
         "doc_id", "text", F.md5(DD.normalize_ascii(F.col("text"))).alias("fp")
     )
-    keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = fps.join(keep.select("doc_id"), "doc_id").select("doc_id", "text")
+    kept = fps.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
     h = DD.hash32(F.col("doc_id").cast("string"), 7) % 100
     split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
     final = kept.select(
