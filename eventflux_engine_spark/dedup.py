@@ -431,26 +431,36 @@ cand_pairs AS (
 
 
 def jaccard_on_candidates(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard, computed only for LSH candidates:
-    |A∩B| via join on shingle, |A∪B| = |A|+|B|-|A∩B|."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    """Exact shingle-set Jaccard, computed only for LSH candidates.
+
+    Shape (r6): aggregate each doc's distinct shingles into ONE set row
+    (``collect_list`` — one shuffle, the posting-list materialization every
+    MinHash pipeline already pays for its size agg), then attach the two
+    sets to each candidate pair and compute |A∩B| in place with
+    ``array_intersect`` (codegen'd, O(|A|+|B|) per pair). The r5 shape
+    instead joined the corpus-sized (doc, shingle) table twice — once per
+    pair side — and re-aggregated: two wide string-keyed shuffles that
+    dwarfed the per-pair work at every scale tried. Per-pair cost is
+    bounded by document length, and candidate pairs are the small relation
+    by construction.
+
+    Contract note (r6): pairs whose shingle sets are disjoint now appear
+    with ``jaccard = 0.0`` instead of being silently dropped by the inner
+    intersection join; every gated consumer filters ``jaccard >= 0.5``, so
+    gated outputs are identical.
+    """
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shset"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+                n_inter / (F.size("set_a") + F.size("set_b") - n_inter), 4
             ).alias("jaccard"),
         )
     )
@@ -637,17 +647,30 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # round 1 fused into label init: with identity labels the neighbor join
+    # is trivial (label[src] == src), so the first propagation round is one
+    # agg straight off the edge list — no identity-label materialization, no
+    # first join. The identity sum (needed as the fixpoint baseline) is
+    # sum(doc_id) of the SAME frame, so one action yields the checkpoint,
+    # the round-1 sum and the baseline together.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        edges.select(F.col("dst").alias("doc_id"), F.col("src").alias("label"))
+        .unionByName(
+            edges.select(F.col("src").alias("doc_id"), F.col("src").alias("label"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=False)  # materialized by the sums action below
     )
     # fixpoint probe: labels only ever DECREASE, so sum(label) is strictly
     # decreasing until convergence — one scalar agg per round, no
     # join-and-compare pass
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iters):
+    first = labels.agg(F.sum("label"), F.sum("doc_id")).collect()[0]
+    prev_sum, ident_sum = first[0], first[1]
+    converged = prev_sum == ident_sum
+    for _ in range(max_iters - 1):
+        if converged:
+            break
         # neighbor labels flow along edges; hash-min with the own label
         msgs = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
@@ -657,15 +680,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
         )
-        # materialize the round (localCheckpoint truncates the lineage so
-        # iteration depth never grows the plan) and test the fixpoint
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazily checkpoint the round (truncates lineage so iteration depth
+        # never grows the plan); the fixpoint-probe agg is the action that
+        # materializes it — ONE job per round, not checkpoint + probe
+        new_labels = new_labels.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
-            break
+            converged = True
         prev_sum = cur_sum
-    else:
+    if not converged:
         # hash-min needs O(component diameter) rounds; exhausting max_iters
         # with the sum still decreasing means some component is only
         # partially propagated — labels would silently diverge from the

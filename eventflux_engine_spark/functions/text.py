@@ -218,7 +218,9 @@ def bpe_encode_word(word_col: Column) -> Column:
 
 def bpe_symbols(enc_col: Column) -> Column:
     """'<a><bc>' -> ['a', 'bc']."""
-    return F.split(F.expr(f"trim(BOTH '<>' FROM {enc_col._jc.toString()})"), "><")
+    # btrim(s, '<>') == trim(BOTH '<>' FROM s); public API (no Column._jc,
+    # which breaks under Spark Connect — ADVICE r5)
+    return F.split(F.btrim(enc_col, F.lit("<>")), "><")
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 6, text_col: str = "text") -> DataFrame:
@@ -228,11 +230,14 @@ def bpe_train(docs: DataFrame, n_merges: int = 6, text_col: str = "text") -> Dat
     Scale shape: the corpus collapses to a DISTINCT-WORD frequency table
     once (one shuffle over tokens — at 100 TB the vocabulary table is
     tiny relative to the corpus), then every round is pair-explode →
-    count (one small shuffle over the vocab) + the argmax pair as a
-    broadcast 1-row cross join + a narrow replace. localCheckpoint per
-    round keeps the lineage flat (the k-means discipline). No floats, no
-    collect in the loop body beyond the checkpoint materialization Spark
-    itself performs.
+    count (one small shuffle over the vocab) → argmax pulled to the
+    driver (a 1-row scalar probe, the k-means-codebook discipline) and a
+    narrow literal replace. The round's only action is that argmax
+    collect, which also materializes the previous round's lazily
+    localCheckpointed word table — ONE Spark job per round (the r5 shape
+    ran three: eager argmax checkpoint, eager word checkpoint, and the
+    argmax re-read through a per-round broadcast cross join). No floats
+    anywhere; the merge table itself is a local relation.
     """
     words = (
         docs.select(
@@ -243,9 +248,9 @@ def bpe_train(docs: DataFrame, n_merges: int = 6, text_col: str = "text") -> Dat
         .agg(F.count(F.lit(1)).alias("wc"))
         .select(bpe_encode_word(F.col("w")).alias("s"), "wc")
     )
-    words = words.localCheckpoint()
+    words = words.localCheckpoint(eager=False)
     spark = docs.sparkSession
-    merges = []
+    merge_rows = []
     for rnd in range(1, n_merges + 1):
         syms = bpe_symbols(F.col("s"))
         n = F.size(syms)
@@ -267,28 +272,24 @@ def bpe_train(docs: DataFrame, n_merges: int = 6, text_col: str = "text") -> Dat
             pairs.orderBy(F.col("cnt").desc(), "l", "r")
             .limit(1)
             .select("l", "r", "cnt")
+            .collect()[0]
         )
-        top = top.localCheckpoint()
-        merges.append(
-            top.select(
-                F.lit(rnd).alias("round"),
-                F.col("l").alias("left"),
-                F.col("r").alias("right"),
-                F.concat("l", "r").alias("merged"),
-                F.col("cnt").cast("bigint").alias("pair_count"),
-            )
-        )
-        pat = F.concat(F.lit("<"), F.col("l"), F.lit("><"), F.col("r"), F.lit(">"))
-        rep = F.concat(F.lit("<"), F.col("l"), F.col("r"), F.lit(">"))
+        left, right, cnt = top["l"], top["r"], int(top["cnt"])
+        merge_rows.append((rnd, left, right, left + right, cnt))
         words = (
-            words.crossJoin(F.broadcast(top))
-            .select(F.replace(F.col("s"), pat, rep).alias("s"), "wc")
-            .localCheckpoint()
+            words.select(
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"<{left}><{right}>"),
+                    F.lit(f"<{left}{right}>"),
+                ).alias("s"),
+                "wc",
+            )
+            .localCheckpoint(eager=False)
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return spark.createDataFrame(
+        merge_rows, "round int, left string, right string, merged string, pair_count bigint"
+    )
 
 
 def bpe_train_sql(n_merges: int = 6, docs_rel: str = "documents") -> str:

@@ -86,7 +86,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _aug_docs(spark, sf_dir)
-    sh = DD.doc_shingles(docs)
+    # the distinct shingle table feeds FOUR plan arms (signatures + the
+    # verify join's sa/sb sides + the size agg) and Catalyst replicates the
+    # normalize→explode→distinct pipeline into each — materialize it once
+    # (the guide-§8 "write the fingerprint table once" step; at cluster
+    # scale this is the persisted shingle/posting table)
+    sh = DD.doc_shingles(docs).localCheckpoint(eager=False)
     pairs = DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
     return DD.jaccard_on_candidates(sh, pairs).filter(F.col("jaccard") >= 0.5)
 
@@ -112,7 +117,8 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _aug_docs(spark, sf_dir)
-    sh = DD.doc_shingles(docs)
+    # materialize the 4-arm shingle fan-out once (see q_dedup_jaccard)
+    sh = DD.doc_shingles(docs).localCheckpoint(eager=False)
     pairs = DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
     verified = DD.jaccard_on_candidates(sh, pairs).filter(F.col("jaccard") >= 0.5)
     return DD.dup_clusters(verified)
@@ -262,33 +268,26 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_assign(spark: SparkSession, sf_dir: str):
     """(quantized embeddings, nearest-centroid assignment) — shared by the
-    IVF gates.  Vectors are quantized + normed ONCE (`quantize_with_norm`),
-    the fixed codebook broadcasts pre-quantized, and the assignment is an
-    argmax-by-agg (max(struct(score, -c_id)) ≡ smallest-c_id tie-break):
-    map-side combine collapses each vector's k candidates before the
-    shuffle, where a row_number window would shuffle and sort all N×k
-    scored rows."""
+    IVF gates.  Vectors are quantized + normed ONCE (`quantize_with_norm`,
+    materialized so the fan-out into assignment + query/candidate arms does
+    not re-run the interpreted quantize/norm folds), the fixed codebook is
+    pulled to the driver (codebook-sized — the same payload a broadcast
+    ships), and the assignment is the exact-arithmetic numpy argmax kernel
+    (`assign_codebook_np`): one BLAS matmul per Arrow batch instead of N×k
+    interpreted 64-element cosine folds.  Exactness: every quantized product
+    and partial sum is an integer below 2^53, so float64 matmul, Spark SQL
+    and DuckDB produce identical doubles; numpy's first-max argmax ties
+    toward the smallest c_id exactly like the previous
+    max(struct(score, -c_id)) aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
-    embq = SIM.quantize_with_norm(emb)
-    centsq = embq.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("qe").alias("qc"),
-        F.col("qn").alias("cn"),
+    embq = SIM.quantize_with_norm(emb).localCheckpoint(eager=False)
+    cents_rows = (
+        embq.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+        .select(F.col("vec_id").alias("c_id"), "qe")
+        .collect()
     )
-    scored = embq.crossJoin(F.broadcast(centsq))
-    best = F.max(
-        F.struct(
-            SIM.qcosine_pre(
-                F.col("qe"), F.col("qc"), F.col("qn"), F.col("cn")
-            ).alias("q"),
-            (-F.col("c_id")).alias("nc"),
-        )
-    )
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(best.alias("__best"))
-        .select("vec_id", (-F.col("__best.nc")).alias("c_id"))
-    )
+    cents = sorted((int(r["c_id"]), list(r["qe"])) for r in cents_rows)
+    assigned = SIM.assign_codebook_np(embq, cents).localCheckpoint(eager=False)
     return embq, assigned
 
 
@@ -1274,8 +1273,10 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").substr(F.lit(10), F.length("text")).alias("text"),
         )
     )
-    sh_c = DD.doc_shingles(docs)
-    sh_p = DD.doc_shingles(probe)
+    # each side's shingle table feeds its signature agg AND the union'd
+    # verify arms — materialize once per side (see q_dedup_jaccard)
+    sh_c = DD.doc_shingles(docs).localCheckpoint(eager=False)
+    sh_p = DD.doc_shingles(probe).localCheckpoint(eager=False)
     pairs = DD.lsh_probe_pairs(
         DD.minhash_signatures(sh_c), DD.minhash_signatures(sh_p)
     )

@@ -710,7 +710,6 @@ def kmeans_codebook_q(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
     embq = quantize_with_norm(src).localCheckpoint(eager=True)
-    dim = len(embq.select("qe").first()["qe"])
     from pyspark.sql import Window
 
     seed_w = Window.orderBy("__h")
@@ -723,6 +722,9 @@ def kmeans_codebook_q(
         .collect()
     )
     cents = sorted((r["c_id"], list(r["qe"])) for r in seed_rows)
+    # dim from the seed payload — a separate first() action just for the
+    # dimension was one whole Spark job per training call
+    dim = len(cents[0][1])
     rounds = 0
     for _ in range(iters):
         part = _partial_sums_np(embq, cents, dim)
