@@ -74,6 +74,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_input(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow-partition scan before heavy per-row
+    map work (regex scoring, shingle explode+md5, codec kernels).
+
+    A single small parquet file (one row group) reads as ONE scan task, so
+    every pre-shuffle map stage built on it runs single-threaded no matter
+    how many cores exist — the guide-§2.5 "input skew: repartition
+    immediately after the read" case. The repartition ships only the tiny
+    source rows; the expensive derived work then fans across the cluster.
+    Scale-adaptive: a no-op whenever the scan already carries at least
+    ``defaultParallelism`` partitions (real multi-file tables at scale), so
+    nothing here is tuned to local mode.
+    """
+    sc = df.sparkSession.sparkContext
+    target = partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .datamodel import spread_input
+
 try:  # real decoders are absent in this sandbox — keep the import gated
     from PIL import Image  # noqa: F401
 
@@ -260,7 +262,7 @@ def wav_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=_WAV_SCHEMA)
+    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_WAV_SCHEMA)
 
 
 def parse_wav(raw: bytes) -> tuple[int, int, int, bytes]:
@@ -410,7 +412,7 @@ def bmp_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=_BMP_SCHEMA)
+    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_BMP_SCHEMA)
 
 
 _BMP_STATS_SCHEMA = (
@@ -526,7 +528,7 @@ def y4m_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=_Y4M_SCHEMA)
+    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_Y4M_SCHEMA)
 
 
 def parse_y4m_header(raw: bytes) -> tuple[int, int, int, int, int]:
@@ -923,7 +925,7 @@ def png_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=_PNG_SCHEMA)
+    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_PNG_SCHEMA)
 
 
 def png_interlaced_assets_from_documents(docs: DataFrame) -> DataFrame:
@@ -956,7 +958,7 @@ def png_interlaced_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=_PNG_SCHEMA)
+    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_PNG_SCHEMA)
 
 
 _PNG_STATS_SCHEMA = (
@@ -1037,7 +1039,7 @@ def png_palette_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=_PNG_SCHEMA)
+    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_PNG_SCHEMA)
 
 
 _PNG_RGB_STATS_SCHEMA = (

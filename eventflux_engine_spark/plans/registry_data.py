@@ -11,13 +11,20 @@ from pyspark.sql import functions as F
 
 from .. import dedup as DD
 from .. import similarity as SIM
-from ..datamodel import load_table
+from ..datamodel import load_table, spread_input
 from ..functions import text as TX
 from .registry import register
 
 
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.augmented_documents(load_table(spark, sf_dir, "documents"))
+    # spread the single-row-group scan so the normalize/shingle/md5/regex
+    # map stages built on the augmented corpus use every core, not the
+    # scan's 1-3 file tasks (datamodel.spread_input; no-op at real scale).
+    # Spread AFTER the union: a repartition under it would be replicated
+    # into each of the three union branches (three exchanges for one).
+    return spread_input(
+        DD.augmented_documents(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def _docs_sql(body: str, extra_ctes: list[str] | None = None) -> str:
@@ -140,7 +147,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is mirrored in the oracle, so the exclusion semantics are value-gated",
 )
 def q_dedup_lsh_skew_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = DD.boilerplate_documents(load_table(spark, sf_dir, "documents"))
+    docs = spread_input(
+        DD.boilerplate_documents(load_table(spark, sf_dir, "documents"))
+    )
     sh = DD.doc_shingles(docs, distinct=False)
     return DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
 
@@ -549,7 +558,7 @@ def _lang_id_sql() -> str:
     "from the SAME marker lists (functions/text.py LANG_MARKERS)",
 )
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("lang_pred", TX.lang_id(F.col("text")))
         .groupBy("lang_pred")
@@ -616,7 +625,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against SQL-recomputed features",
 )
 def q_text_features_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     feat = docs.withColumn("f", TX.text_features_pandas(F.col("text")))
     return feat.select(
         "doc_id",
@@ -677,7 +686,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rabin — inside the same vectorized expression shape).",
 )
 def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     n = F.length("text")
     # sequence(1, 0) yields DESCENDING [1, 0] — guard short docs explicitly
     windows = F.transform(
@@ -703,7 +712,7 @@ def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "primitive",
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.md5(DD.normalize_ascii(F.col("text"))).alias("fp")
     )
@@ -733,7 +742,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic.",
 )
 def q_text_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     n = F.length("text")
     codes = F.transform(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
@@ -901,7 +910,7 @@ documents_pii AS (
 
 
 def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     d = F.col("doc_id")
     email = F.when(
         d % 3 == 0,
@@ -1019,7 +1028,7 @@ def q_curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ">50% duplicate bigrams or one word >20% of the doc",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", F.split(DD.normalize_ascii(F.col("text")), " ").alias("words")
     )
@@ -1131,7 +1140,7 @@ def _bm25_w_sql(term: str) -> str:
     "fact-sized exchanges are the two token aggregations",
 )
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     K1 = F.lit(1.2).cast("double")
     B = F.lit(0.75).cast("double")
     one = F.lit(1).cast("double")
@@ -1197,7 +1206,9 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle unrolls the rounds as CTEs (the trained-IVF discipline)",
 )
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=6)
+    return TX.bpe_train(
+        spread_input(load_table(spark, sf_dir, "documents")), n_merges=6
+    )
 
 
 @register(
@@ -1265,7 +1276,9 @@ def _probe_sql() -> str:
     "paths)",
 )
 def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_input(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     probe = (
         docs.filter(F.col("doc_id") % 3 == 0)
         .select(
