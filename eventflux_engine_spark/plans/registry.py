@@ -730,7 +730,14 @@ def q_pattern_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
         within=pd.Timedelta(hours=12),
         every=True,
     )
-    m = match_pattern_batch(t, spec)
+    # input_sorted: the transcripts derivation ends in a window partitioned
+    # by user_id and sorted by (user_id, ts, event_id); conv_id is a
+    # monotone 1:1 image of user_id (lpad-6 — injective for user_id < 10^6,
+    # and n_users = 1500*sf) and turn_idx is row_number in that same order,
+    # so the matcher's (key integrity + per-key order) contract already
+    # holds — the second exchange+sort the matcher would add is the exact
+    # "two operations keyed the same way share one exchange" case.
+    m = match_pattern_batch(t, spec, input_sorted=True)
     return m.select(
         "conv_id",
         "e1_turn_idx",
@@ -938,5 +945,6 @@ def q_pattern_uta(spark: SparkSession, sf_dir: str) -> DataFrame:
         within=pd.Timedelta(hours=48),
         every=True,
     )
-    m = match_pattern_batch(t, spec)
+    # input_sorted: same shared-exchange argument as q_pattern_ua
+    m = match_pattern_batch(t, spec, input_sorted=True)
     return m.select("conv_id", "e1_turn_idx", "e2_turn_idx", "e3_turn_idx")

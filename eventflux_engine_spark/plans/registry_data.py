@@ -625,7 +625,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against SQL-recomputed features",
 )
 def q_text_features_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     feat = docs.withColumn("f", TX.text_features_pandas(F.col("text")))
     return feat.select(
         "doc_id",
@@ -686,7 +686,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rabin — inside the same vectorized expression shape).",
 )
 def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     n = F.length("text")
     # sequence(1, 0) yields DESCENDING [1, 0] — guard short docs explicitly
     windows = F.transform(
@@ -712,7 +712,7 @@ def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "primitive",
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.md5(DD.normalize_ascii(F.col("text"))).alias("fp")
     )
@@ -742,7 +742,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic.",
 )
 def q_text_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     n = F.length("text")
     codes = F.transform(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
@@ -910,7 +910,7 @@ documents_pii AS (
 
 
 def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
     email = F.when(
         d % 3 == 0,
@@ -1028,7 +1028,7 @@ def q_curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ">50% duplicate bigrams or one word >20% of the doc",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", F.split(DD.normalize_ascii(F.col("text")), " ").alias("words")
     )
@@ -1140,7 +1140,7 @@ def _bm25_w_sql(term: str) -> str:
     "fact-sized exchanges are the two token aggregations",
 )
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     K1 = F.lit(1.2).cast("double")
     B = F.lit(0.75).cast("double")
     one = F.lit(1).cast("double")
@@ -1206,9 +1206,7 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle unrolls the rounds as CTEs (the trained-IVF discipline)",
 )
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.bpe_train(
-        spread_input(load_table(spark, sf_dir, "documents")), n_merges=6
-    )
+    return TX.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=6)
 
 
 @register(

