@@ -202,8 +202,25 @@ def range_join_bucketed(
     ``bucket_s`` near the median interval length to bound the explode.
     """
     b_start = F.floor(F.col(start_col) / bucket_s).cast("bigint")
-    b_end = F.floor((F.col(end_col) - 1) / bucket_s).cast("bigint")
-    iv = intervals.withColumn("__b", F.explode(F.sequence(b_start, b_end)))
+    # ceil(end / bucket_s) - 1 covers fractional end bounds: with the
+    # previous floor((end - 1)/bucket_s), a fact in the floor-aligned last
+    # bucket of a non-integer interval end could land in a bucket the
+    # interval never generated — a silent false negative the residual
+    # filter cannot repair (ADVICE r5). For integer ends the two forms are
+    # identical, so gated results are unchanged.
+    b_end = (F.ceil(F.col(end_col) / bucket_s) - 1).cast("bigint")
+    # degenerate intervals (end <= start): Spark's sequence() defaults to
+    # step -1 when start > stop, which would EXPLODE a descending bucket
+    # list instead of producing nothing — emit an empty bucket array
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.when(
+                F.col(end_col) > F.col(start_col),
+                F.sequence(b_start, b_end),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ),
+    )
     if broadcast_intervals:
         iv = F.broadcast(iv)
     f = facts.withColumn("__e", fact_epoch).withColumn(
@@ -238,7 +255,20 @@ def salted_join(
     (oracle-gated); use when the dim side is too big to broadcast AND AQE's
     runtime skew split is unavailable (e.g. inside a cached/reused subplan
     or a stream-static join).
+
+    Supported ``how``: inner / left / left_semi / left_anti — the flavors
+    whose results are invariant under dim-side salt replication. A right or
+    full join would emit every UNMATCHED dim row once per salt value
+    (ADVICE r5), so those are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched dim rows "
+            "would be emitted once per salt bucket (use inner/left/"
+            "left_semi/left_anti)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = (
         F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets))
@@ -358,7 +388,18 @@ def bloom_prune_join(
     """`facts JOIN dim ON key`, with the fact side Bloom-pruned before the
     join. No false negatives -> result is bit-identical to the plain
     join; the filter runs at the scan, so at 100 TB the exchange only
-    carries surviving rows."""
+    carries surviving rows.
+
+    Supported ``how``: inner and left-semi only — outer joins must KEEP
+    unmatched fact rows and an anti join must RETURN them, while the Bloom
+    prefilter drops exactly those rows (ADVICE r5)."""
+    allowed = {"inner", "leftsemi", "semi"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"bloom_prune_join does not support how={how!r}: the Bloom "
+            "prefilter drops the unmatched fact rows an outer join must "
+            "keep and an anti join must return (use inner/left_semi)"
+        )
     return bloom_probe(facts, key, bloom_build(dim, key)).join(
         dim, on=key, how=how
     )

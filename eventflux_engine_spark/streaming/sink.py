@@ -159,7 +159,30 @@ class ExactlyOnceParquetSink:
             raise ValueError("nothing to compact")
         hwm = epochs[-1]
         seg_id = hwm + 1
-        df = self.read(spark)  # latest segment + tail epochs = current truth
+        # fold EXACTLY the snapshot taken above: latest committed segment +
+        # the epochs in (segment hwm, this hwm]. Calling self.read() here
+        # would re-list committed epochs, so an epoch committed while the
+        # segment is being written would be folded in while the marker
+        # records covers_epochs_through=hwm — subsequent reads would then
+        # return that epoch twice (segment + its epoch dir) (ADVICE r5).
+        segs = self.committed_segments()
+        floor_epoch = -1
+        paths = []
+        if segs:
+            latest = segs[-1]
+            floor_epoch = latest["covers_epochs_through"]
+            paths.append(
+                os.path.join(self.data_dir, f"segment={latest['segment_id']}")
+            )
+        paths.extend(
+            os.path.join(self.data_dir, f"epoch={e}")
+            for e in epochs
+            if floor_epoch < e <= hwm
+        )
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            raise ValueError("nothing to compact")
+        df = spark.read.parquet(*paths)
         seg_dir = os.path.join(self.data_dir, f"segment={seg_id}")
         t0 = time.time()
         df.coalesce(target_files).write.mode("overwrite").parquet(seg_dir)
