@@ -1363,11 +1363,14 @@ def _pipeline_sql() -> str:
     "-> deterministic 90/5/5 hash split -> per-(lang, split) doc and "
     "token budgets. Every stage is an already-gated operator; the "
     "composite proves they compose in one plan: narrow scoring, one "
-    "fingerprint shuffle + map-side-combined min_by keep, then a tiny "
-    "final agg — no stage materializes or re-scores the corpus twice "
+    "fingerprint shuffle + keep-list join over the MATERIALIZED scored "
+    "corpus, then a tiny final agg — the corpus is scored exactly once "
     "(the r5 keep-list self-join replicated the regex scoring pass into "
-    "both join arms; min_by(text, doc_id) keeps the min doc's text in "
-    "the same single aggregation that finds the min doc_id)",
+    "both join arms; a min_by(text, doc_id) keep was tried and rejected: "
+    "its string-valued aggregation buffer forces SortAggregate, which "
+    "sorts the corpus-with-text by fingerprint — the lazily checkpointed "
+    "fps table keeps the hash-agg + broadcast-join shape AND the single "
+    "scoring pass)",
 )
 def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _aug_docs(spark, sf_dir)
@@ -1376,11 +1379,9 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fps = qual.select(
         "doc_id", "text", F.md5(DD.normalize_ascii(F.col("text"))).alias("fp")
-    )
-    kept = fps.groupBy("fp").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("text", "doc_id").alias("text"),
-    )
+    ).localCheckpoint(eager=False)
+    keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = fps.join(keep.select("doc_id"), "doc_id").select("doc_id", "text")
     h = DD.hash32(F.col("doc_id").cast("string"), 7) % 100
     split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
     final = kept.select(
