@@ -61,6 +61,18 @@ KINDS = ["image", "audio", "video"]
 FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
 
 
+
+def _spread_codec(docs: DataFrame) -> DataFrame:
+    """spread_input at HALF the core count for the codec generators: their
+    consumers chain up to three Python stages per task, so worker-pool
+    pressure is partitions x stages — half-width keeps every core busy
+    (each task runs ~3 concurrently active stages) at half the workers.
+    Measured at sf0.1: bmp_resize 1.2-1.7 s at full width vs 0.7-0.9 s at
+    half; at sf10 the difference is amortized by the per-doc kernel work.
+    """
+    sc = docs.sparkSession.sparkContext
+    return spread_input(docs, max(2, sc.defaultParallelism // 2))
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic multimodal asset table derived from ``documents``.
 
@@ -262,7 +274,7 @@ def wav_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_WAV_SCHEMA)
+    return _spread_codec(docs.select("doc_id", "text")).mapInPandas(run, schema=_WAV_SCHEMA)
 
 
 def parse_wav(raw: bytes) -> tuple[int, int, int, bytes]:
@@ -412,7 +424,7 @@ def bmp_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_BMP_SCHEMA)
+    return _spread_codec(docs.select("doc_id", "text")).mapInPandas(run, schema=_BMP_SCHEMA)
 
 
 _BMP_STATS_SCHEMA = (
@@ -528,7 +540,7 @@ def y4m_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_Y4M_SCHEMA)
+    return _spread_codec(docs.select("doc_id", "text")).mapInPandas(run, schema=_Y4M_SCHEMA)
 
 
 def parse_y4m_header(raw: bytes) -> tuple[int, int, int, int, int]:
@@ -925,7 +937,7 @@ def png_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_PNG_SCHEMA)
+    return _spread_codec(docs.select("doc_id", "text")).mapInPandas(run, schema=_PNG_SCHEMA)
 
 
 def png_interlaced_assets_from_documents(docs: DataFrame) -> DataFrame:
@@ -958,7 +970,7 @@ def png_interlaced_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_PNG_SCHEMA)
+    return _spread_codec(docs.select("doc_id", "text")).mapInPandas(run, schema=_PNG_SCHEMA)
 
 
 _PNG_STATS_SCHEMA = (
@@ -1039,7 +1051,7 @@ def png_palette_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_input(docs.select("doc_id", "text")).mapInPandas(run, schema=_PNG_SCHEMA)
+    return _spread_codec(docs.select("doc_id", "text")).mapInPandas(run, schema=_PNG_SCHEMA)
 
 
 _PNG_RGB_STATS_SCHEMA = (
