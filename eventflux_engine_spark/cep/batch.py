@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .nfa import match_absent_block, match_linear_block, run_nfa
@@ -152,6 +153,19 @@ def match_pattern_batch(
     key_col = spec.key_col
 
     if spec.is_linear:
+        # rows matching NO step flag can never be candidates and never
+        # affect the chained-searchsorted positions, the key boundaries of
+        # flagged rows, or the within() arithmetic (all operate on flagged
+        # positions only) — drop them BEFORE the exchange / Arrow transfer.
+        # A filter preserves per-partition order and key contiguity, so the
+        # input_sorted contract is untouched.
+        keep = None
+        for s in spec.steps:
+            m = F.col(s.flag_col)
+            if s.logic == "or" and s.flag_col2:
+                m = m | F.col(s.flag_col2)
+            keep = m if keep is None else (keep | m)
+        pruned = pruned.filter(keep)
 
         def apply_partition(pdfs) -> "pd.DataFrame":
             def flush(block: pd.DataFrame):
